@@ -1,0 +1,78 @@
+"""Engine configuration.
+
+Mirrors the reference's knobs (match_threshold / block_size_limit /
+max cluster size; reference run.py:82-90, deterministic_feature.py:72-107)
+recast for the MinHash/SimHash/suffix-array pipeline. All hashes are
+seeded constants — the engine is fully deterministic (the reference's
+score noise at deterministic_feature.py:1416-1420 is deliberately dropped).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- transcript shingling ---
+    shingle_k: int = 3            # words per shingle
+    char_shingle_k: int = 8       # chars per shingle (short-text fallback)
+
+    # --- MinHash / LSH ---
+    minhash_k: int = 128          # signature length
+    lsh_bands: int = 16           # b
+    lsh_rows: int = 8             # r ; b*r == minhash_k; S-curve thr ~ (1/b)^(1/r)
+    minhash_seed: int = 42
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3  # near-dup Hamming radius
+    simhash_block_bits: int = 16  # prefix-block width for Hamming blocking
+
+    # --- audio features ---
+    frame_ms: int = 25
+    hop_ms: int = 10
+    audio_shingle_k: int = 4      # frames per audio shingle
+    audio_quant_levels: int = 8
+
+    # --- suffix-array substring stage ---
+    min_run_chars: int = 20       # exact-run length for a candidate
+    winnow_window: int = 8        # winnowing window for fingerprint blocking
+
+    # --- verification (reference match_threshold 0.75, run.py:85) ---
+    jaccard_threshold: float = 0.8
+    audio_jaccard_threshold: float = 0.6
+    match_threshold: float = 0.75
+
+    # --- skew / blocking limits (reference block_size_limit 1000, run.py:40-41) ---
+    block_size_limit: int = 1000  # rows per (possibly salted) block key
+    salt_buckets: int = 16        # salts applied to hot band keys
+
+    # --- clustering ---
+    max_cluster_size: int = 50    # reference utils.py:73-98 split threshold
+    cc_max_iterations: int = 50
+
+    # --- misc ---
+    checkpoint_dir: str | None = None
+
+    weights: dict = field(
+        default_factory=lambda: {
+            # evidence weights, shaped after the reference's feature-weight
+            # table (deterministic_feature.py:80-102) re-targeted to audio:
+            "exact_bytes": 1.0,
+            "transcript_jaccard": 0.9,
+            "audio_jaccard": 0.8,
+            "simhash": 0.7,
+            "substring_run": 0.6,
+        }
+    )
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.minhash_k:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal minhash_k ({self.minhash_k})"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,62 @@
+"""Transcript normalization + shingling — pure Catalyst expressions.
+
+The reference normalizes with per-row ``Series.apply`` python
+(reference preprocessing.py:10-119); here every transform is a built-in
+``pyspark.sql.functions`` expression so it stays inside whole-stage
+codegen and pushes down to the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip punctuation, collapse whitespace.
+
+    Catalyst analogue of the reference's normalize_company_name
+    (preprocessing.py:10-43) re-targeted to transcripts.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text -> array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Distinct hashed word k-shingles -> array<bigint>.
+
+    Built from higher-order ``transform(sequence(...))`` + ``slice`` +
+    ``xxhash64`` — all JVM-side, zero Python. Rows with fewer than k words
+    fall back to hashing the whole normalized text (one shingle) so short
+    texts still participate.
+
+    Maps the reference's token/trigram blocking inputs
+    (deterministic_feature.py:758-850) into set-similarity land.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))),
+    )
+    fallback = F.array(F.xxhash64(normalize_text(col)))
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(fallback))
+
+
+def char_shingles(col: Column, k: int) -> Column:
+    """Distinct hashed char k-shingles of normalized text -> array<bigint>."""
+    norm = normalize_text(col)
+    ln = F.length(norm)
+    shingled = F.transform(
+        F.sequence(F.lit(1), ln - k + 1),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    fallback = F.array(F.xxhash64(norm))
+    return F.array_distinct(F.when(ln >= k, shingled).otherwise(fallback))

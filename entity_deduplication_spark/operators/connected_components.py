@@ -1,0 +1,106 @@
+"""Connected components via alternating large-star / small-star.
+
+Replaces the reference's driver-side ``networkx.connected_components``
+(utils.py:43-116, CC at :69) with the distributed union-find-semantics
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14) — O(log^2 n) rounds on any graph, each round a pair of
+groupBy/join plans. Every iteration is ``localCheckpoint``-ed to truncate
+lineage (SURVEY.md §7 hard part 1); convergence is detected by an
+order-insensitive (count, hash-sum) signature of the edge set.
+
+IDs are compared with their natural ordering (works for string clip_ids
+and numeric ids alike); the final cluster_id is the component's minimum
+member id — deterministic and stable under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (hi, lo); m = min(lo-neighbors ∪ {u}); emit stars to m."""
+    oriented = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    part1 = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    part2 = mins.select("u", F.col("m").alias("v"))
+    return part1.unionByName(part2).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # bit_xor is order-insensitive and overflow-free (ANSI-safe); the edge
+    # set is distinct so xor cancellation of repeated rows cannot occur.
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id1: str = "id1",
+    id2: str = "id2",
+    node_id: str = "clip_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, cluster_id) for every node; cluster_id = min member id.
+
+    ``edges``: (id1, id2) undirected; ``nodes``: optional full node table so
+    unmatched records become singleton clusters (reference utils.py:106-111).
+    """
+    e = (
+        edges.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _signature(e)
+    for _ in range(max_iterations):
+        if prev[0] == 0:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = _signature(e)
+        if sig == prev:
+            break
+        prev = sig
+
+    # at fixpoint every component is a star to its min; label from symmetric min
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    labels = labels.select(
+        F.col("u").alias(node_id),
+        F.least(F.col("u"), F.col("_mn")).alias("cluster_id"),
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_id)).distinct()
+        labels = (
+            all_nodes.join(labels, node_id, "left")
+            .select(
+                node_id,
+                F.coalesce(F.col("cluster_id"), F.col(node_id)).alias("cluster_id"),
+            )
+        )
+    return labels

@@ -1,0 +1,113 @@
+"""Candidate-pair plumbing: canonicalization, dedup, skew-aware self-join.
+
+Pair semantics follow the reference: ordered-pair canonicalization
+``(min, max)`` (deterministic_feature.py:964) and cross-strategy dedup of
+the compared_pairs set (deterministic_feature.py:966-969) — expressed as
+``id1 < id2`` filters plus ``dropDuplicates``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def canonicalize_pairs(df: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+    """Enforce id1 < id2 and drop duplicates/self-pairs."""
+    out = (
+        df.withColumn("_a", F.least(F.col(id1), F.col(id2)))
+        .withColumn("_b", F.greatest(F.col(id1), F.col(id2)))
+        .drop(id1, id2)
+        .withColumnRenamed("_a", id1)
+        .withColumnRenamed("_b", id2)
+        .filter(F.col(id1) != F.col(id2))
+    )
+    return out.dropDuplicates([id1, id2])
+
+
+def block_self_join_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str = "clip_id",
+    block_size_limit: int = 1000,
+    hot_threshold: int = 256,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """All unordered pairs within each block key, skew-aware.
+
+    ``keyed``: DataFrame with ``key_cols`` + ``id_col``.
+
+    Strategy (replaces the reference's block-size drop/sample,
+    deterministic_feature.py:852-918, losslessly up to ``block_size_limit``):
+
+    * block size computed with a single window (one shuffle);
+    * blocks larger than ``block_size_limit`` are truncated to the first
+      ``limit`` members by id (the reference *drops* them outright — we
+      keep a capped prefix; exact-duplicate floods are caught separately
+      by chain edges in dedup.exact_* so nothing real is lost);
+    * cold blocks (≤ hot_threshold) use a plain self-equi-join;
+    * hot blocks use a two-sided salted join: the left side keeps its own
+      salt ``pmod(xxhash64(id), s)``, the right side is exploded to all
+      ``s`` salts — every unordered pair is produced exactly once after
+      the ``id1 < id2`` filter, but the single hot task is split into
+      ``s`` tasks.
+
+    Returns (id1, id2) distinct pairs.
+    """
+    w = Window.partitionBy(*key_cols)
+    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rn", F.row_number().over(w.orderBy(id_col))
+    )
+    sized = sized.filter(F.col("_rn") <= block_size_limit).drop("_rn")
+    sized = sized.filter(F.col("_bn") >= 2)
+
+    def _pairs(part: DataFrame) -> DataFrame:
+        a = part.select(*key_cols, F.col(id_col).alias("id1"))
+        b = part.select(*key_cols, F.col(id_col).alias("id2"))
+        return (
+            a.join(b, on=key_cols)
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
+
+    cold = sized.filter(F.col("_bn") <= hot_threshold).drop("_bn")
+    hot = sized.filter(F.col("_bn") > hot_threshold).drop("_bn")
+
+    cold_pairs = _pairs(cold)
+
+    s = salt_buckets
+    left = hot.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)))
+    right = hot.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+    hot_pairs = (
+        left.select(*key_cols, "_salt", F.col(id_col).alias("id1"))
+        .join(
+            right.select(*key_cols, "_salt", F.col(id_col).alias("id2")),
+            on=[*key_cols, "_salt"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id1", "id2"])
+
+
+def chain_edges_within_block(
+    keyed: DataFrame, key_cols: list[str], id_col: str = "clip_id"
+) -> DataFrame:
+    """Linear chain edges (consecutive members by id) within each block.
+
+    For *exact-equality* blocks no pairwise verification is needed, so a
+    chain yields the identical connected components as the full clique
+    with O(n) instead of O(n^2) edges — the scale-safe replacement for the
+    reference's enumerate-all-pairs-in-block loops
+    (deterministic_feature.py:920-987).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    nxt = F.lead(F.col(id_col)).over(w)
+    return (
+        keyed.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())
+        .select(F.col(id_col).alias("id1"), F.col("_next").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )

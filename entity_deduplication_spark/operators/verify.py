@@ -1,0 +1,114 @@
+"""Pairwise verification: join candidates back to signatures and score.
+
+Plays the role of the reference's ``_calculate_match_score`` evidence
+combiner (deterministic_feature.py:1183-1422) and secondary-evidence
+validation (deterministic_feature.py:569-651), recast as one ``select``
+expression tree over the pair join — pure Catalyst, whole-stage codegen.
+The reference's ±0.001 tie-break noise (deterministic_feature.py:1416-1420)
+is deliberately dropped: scores are deterministic and ties break on
+(id1, id2).
+
+Column-pruning discipline: candidates join against the *signatures* table
+(digests + shingle arrays + sketches), never the raw ``bytes`` column —
+audio blobs are never shuffled (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_deduplication_spark.config import DedupConfig
+from entity_deduplication_spark.functions.similarity import hamming_similarity, jaccard
+
+_SIG_COLS = [
+    "bytes_md5",
+    "transcript_norm",
+    "shingles",
+    "audio_shingles",
+    "simhash",
+]
+
+
+def attach_pair_features(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "clip_id",
+    sig_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join (id1, id2) with the signature table on both sides."""
+    cols = [c for c in (sig_cols or _SIG_COLS) if c in signatures.columns]
+    a = signatures.select(
+        F.col(id_col).alias("id1"), *[F.col(c).alias(f"{c}_1") for c in cols]
+    )
+    b = signatures.select(
+        F.col(id_col).alias("id2"), *[F.col(c).alias(f"{c}_2") for c in cols]
+    )
+    return pairs.join(a, "id1").join(b, "id2")
+
+
+def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Evidence-weighted score per pair -> (id1, id2, score, <evidence cols>).
+
+    Tiering mirrors the reference's weight table + primary/supporting
+    combination with diminishing returns and cap
+    (deterministic_feature.py:80-102, 1329-1383):
+
+    * exact byte duplicate -> 1.0;
+    * primary evidence = max of weighted transcript-Jaccard,
+      audio-Jaccard, SimHash-Hamming similarity;
+    * each additional strong supporting signal adds +0.05, capped at 0.99.
+    """
+    w = cfg.weights
+    t_j = jaccard(F.col("shingles_1"), F.col("shingles_2"))
+    a_j = (
+        jaccard(F.col("audio_shingles_1"), F.col("audio_shingles_2"))
+        if "audio_shingles_1" in feat.columns
+        else F.lit(0.0)
+    )
+    s_h = (
+        hamming_similarity(F.col("simhash_1"), F.col("simhash_2"))
+        if "simhash_1" in feat.columns
+        else F.lit(0.0)
+    )
+    exact = (
+        (F.col("bytes_md5_1") == F.col("bytes_md5_2"))
+        & (F.col("transcript_norm_1") == F.col("transcript_norm_2"))
+        if "bytes_md5_1" in feat.columns
+        else F.lit(False)
+    )
+
+    scored = feat.withColumn("transcript_jaccard", t_j)
+    scored = scored.withColumn("audio_jaccard", a_j)
+    scored = scored.withColumn("simhash_sim", s_h)
+    scored = scored.withColumn("is_exact", exact)
+
+    strong_t = F.col("transcript_jaccard") >= cfg.jaccard_threshold
+    strong_a = F.col("audio_jaccard") >= cfg.audio_jaccard_threshold
+    # SimHash similarity is only "strong" inside the Hamming radius
+    strong_s = F.col("simhash_sim") >= 1.0 - cfg.simhash_hamming_max / 64.0
+
+    primary = F.greatest(
+        F.col("transcript_jaccard") * w["transcript_jaccard"],
+        F.col("audio_jaccard") * w["audio_jaccard"],
+        F.col("simhash_sim") * w["simhash"] * strong_s.cast("double"),
+    )
+    n_strong = (
+        strong_t.cast("int") + strong_a.cast("int") + strong_s.cast("int")
+    )
+    support = F.when(n_strong >= 2, (n_strong - 1) * F.lit(0.05)).otherwise(0.0)
+    score = F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
+        F.least(primary + support, F.lit(0.99))
+    )
+    return scored.withColumn("score", score)
+
+
+def verified_edges(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """candidates -> (id1, id2, score) edges above match_threshold."""
+    feat = attach_pair_features(pairs, signatures)
+    scored = score_pairs(feat, cfg)
+    return scored.filter(F.col("score") >= cfg.match_threshold).select(
+        "id1", "id2", "score"
+    )

@@ -1,0 +1,178 @@
+"""DedupPipeline — the end-to-end near-duplicate detection plan.
+
+Stage graph (the Spark re-expression of the reference's template method
+``run_entity_resolution``, base.py:119-147):
+
+    clips ──select/UDF──▶ signatures            [checkpoint]
+       signatures ──LSH bands + exact keys──▶ candidate_pairs [checkpoint]
+       candidate_pairs ──Jaccard/Hamming verify──▶ edges
+       edges ──large-star/small-star CC──▶ clusters          [checkpoint]
+       clusters ──window election──▶ canonical
+       every stage ──▶ lineage + metrics appends
+
+``bytes`` is projected away after the signature stage — binary audio is
+never shuffled. Exact-duplicate floods are captured by chain edges on
+exact keys (O(n) not O(n^2)), LSH blocks are skew-salted, and all stages
+are resumable via CheckpointManager.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_deduplication_spark.audio.decode import audio_shingles_udf
+from entity_deduplication_spark.config import DedupConfig
+from entity_deduplication_spark.functions.hashing import (
+    band_keys,
+    minhash_udf,
+    simhash_udf,
+)
+from entity_deduplication_spark.functions.text import normalize_text, word_shingles
+from entity_deduplication_spark.operators.blocking import (
+    lsh_band_pairs,
+    simhash_block_pairs,
+)
+from entity_deduplication_spark.operators.canonical import elect_canonical
+from entity_deduplication_spark.operators.connected_components import (
+    connected_components,
+)
+from entity_deduplication_spark.operators.pairs import chain_edges_within_block
+from entity_deduplication_spark.operators.stats import dedup_metrics
+from entity_deduplication_spark.operators.verify import verified_edges
+from entity_deduplication_spark.sources.io import CheckpointManager
+
+
+def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """clips -> signature table; the only stage that touches ``bytes``.
+
+    Columns: clip_id, transcript_norm, bytes_md5, shingles, audio_shingles,
+    minhash, simhash, bands, audio_bands, n_words.
+    """
+    mh = minhash_udf(cfg.minhash_k, cfg.minhash_seed)
+    ash = audio_shingles_udf(
+        cfg.frame_ms, cfg.hop_ms, cfg.audio_shingle_k, cfg.audio_quant_levels
+    )
+    sig = clips.select(
+        "clip_id",
+        normalize_text(F.col("transcript")).alias("transcript_norm"),
+        F.md5(F.col("bytes")).alias("bytes_md5"),
+        word_shingles(F.col("transcript"), cfg.shingle_k).alias("shingles"),
+        ash(F.col("bytes")).alias("audio_shingles"),
+    )
+    sig = sig.withColumn("minhash", mh(F.col("shingles")))
+    sig = sig.withColumn("audio_minhash", mh(F.col("audio_shingles")))
+    sig = sig.withColumn("simhash", simhash_udf(F.col("shingles")))
+    sig = sig.withColumn(
+        "bands", band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows)
+    )
+    sig = sig.withColumn(
+        "audio_bands",
+        band_keys(F.col("audio_minhash"), cfg.lsh_bands, cfg.lsh_rows),
+    )
+    sig = sig.withColumn("n_words", F.size(F.split(F.col("transcript_norm"), " ")))
+    return sig
+
+
+def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Union of per-strategy candidate pair sets, deduped across strategies
+    (reference deterministic_feature.py:212-217,242-247 →
+    unionByName + dropDuplicates)."""
+    text_lsh = lsh_band_pairs(signatures, cfg, bands_col="bands").withColumn(
+        "block_type", F.lit("text_lsh")
+    )
+    audio_lsh = lsh_band_pairs(signatures, cfg, bands_col="audio_bands").withColumn(
+        "block_type", F.lit("audio_lsh")
+    )
+    sim_pairs = simhash_block_pairs(signatures, cfg).withColumn(
+        "block_type", F.lit("simhash")
+    )
+    allp = text_lsh.unionByName(audio_lsh).unionByName(sim_pairs)
+    # keep one row per pair, remember the first block type (deterministic order)
+    return (
+        allp.groupBy("id1", "id2")
+        .agg(F.min("block_type").alias("block_type"))
+    )
+
+
+def exact_edges(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Chain edges over exact-equality keys (bytes digest, normalized
+    transcript) — verification-free, O(n) per block (B1/B6 analogues)."""
+    by_bytes = chain_edges_within_block(
+        signatures.select("clip_id", "bytes_md5").filter(
+            F.col("bytes_md5").isNotNull()
+        ),
+        key_cols=["bytes_md5"],
+    )
+    by_text = chain_edges_within_block(
+        signatures.select("clip_id", "transcript_norm").filter(
+            F.length("transcript_norm") > 0
+        ),
+        key_cols=["transcript_norm"],
+    )
+    return (
+        by_bytes.unionByName(by_text)
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("score", F.lit(1.0))
+    )
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame
+    candidates: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    canonical: DataFrame
+    metrics: DataFrame
+
+
+class DedupPipeline:
+    """Orchestrator with optional checkpoint/resume per stage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.ckpt = CheckpointManager(spark, checkpoint_dir or self.cfg.checkpoint_dir)
+
+    def run(self, clips: DataFrame, resume: bool = True) -> DedupResult:
+        cfg = self.cfg
+        sig = self.ckpt.get_or_compute(
+            "signatures", lambda: build_signatures(clips, cfg), resume=resume
+        )
+        cand = self.ckpt.get_or_compute(
+            "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
+        )
+        verified = verified_edges(cand.select("id1", "id2"), sig, cfg)
+        edges = self.ckpt.get_or_compute(
+            "edges",
+            lambda: verified.unionByName(exact_edges(sig, cfg))
+            .groupBy("id1", "id2")
+            .agg(F.max("score").alias("score")),
+            resume=resume,
+        )
+        clusters = self.ckpt.get_or_compute(
+            "clusters",
+            lambda: connected_components(
+                edges,
+                nodes=sig.select("clip_id"),
+                max_iterations=cfg.cc_max_iterations,
+            ),
+            resume=resume,
+        )
+        clustered = clusters.join(
+            sig.select("clip_id", "transcript_norm", "n_words"), "clip_id"
+        )
+        canonical = elect_canonical(
+            clustered, order_col="n_words"
+        )
+        metrics = dedup_metrics(clusters)
+        self.ckpt.write_metrics("final", metrics)
+        return DedupResult(sig, cand, edges, clusters, canonical, metrics)
