@@ -63,7 +63,7 @@ class DedupConfig:
             "transcript_jaccard": 0.9,
             "audio_jaccard": 0.8,
             "simhash": 0.7,
-            "substring_run": 0.6,
+            "substring_run": 0.8,
         }
     )
 

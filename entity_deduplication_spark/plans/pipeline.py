@@ -41,6 +41,7 @@ from entity_deduplication_spark.operators.connected_components import (
 )
 from entity_deduplication_spark.operators.pairs import chain_edges_within_block
 from entity_deduplication_spark.operators.stats import dedup_metrics
+from entity_deduplication_spark.operators.suffix import substring_run_pairs
 from entity_deduplication_spark.operators.verify import verified_edges
 from entity_deduplication_spark.sources.io import CheckpointManager
 
@@ -151,9 +152,13 @@ class DedupPipeline:
             "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
         )
         verified = verified_edges(cand.select("id1", "id2"), sig, cfg)
+        substring = substring_run_pairs(sig, cfg).select(
+            "id1", "id2", F.lit(cfg.weights["substring_run"]).alias("score")
+        )
         edges = self.ckpt.get_or_compute(
             "edges",
             lambda: verified.unionByName(exact_edges(sig, cfg))
+            .unionByName(substring)
             .groupBy("id1", "id2")
             .agg(F.max("score").alias("score")),
             resume=resume,
