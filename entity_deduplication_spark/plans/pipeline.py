@@ -145,8 +145,13 @@ class DedupPipeline:
 
     def run(self, clips: DataFrame, resume: bool = True) -> DedupResult:
         cfg = self.cfg
+        # spread the decode/signature UDF work across all cores even when
+        # the source is a single parquet file / few input splits
+        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
         sig = self.ckpt.get_or_compute(
-            "signatures", lambda: build_signatures(clips, cfg), resume=resume
+            "signatures",
+            lambda: build_signatures(clips.repartition(n_parts, "clip_id"), cfg),
+            resume=resume,
         )
         cand = self.ckpt.get_or_compute(
             "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume

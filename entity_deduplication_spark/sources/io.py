@@ -71,9 +71,20 @@ class CheckpointManager:
         partition_by: list[str] | None = None,
         lineage: bool = True,
     ) -> DataFrame:
-        """Read stage table if checkpointed, else compute + persist it."""
+        """Read stage table if checkpointed, else compute + persist it.
+
+        Without a checkpoint dir the stage is still persisted in memory/disk
+        and eagerly materialized — stage outputs are reused by several
+        downstream plans (e.g. signatures feed 3 LSH strategies, verify,
+        and the substring stage), so recomputation would multiply the
+        UDF cost (SURVEY.md §4 common-subexpression row).
+        """
         if not self.base_dir:
-            return compute()
+            from pyspark import StorageLevel
+
+            df = compute().persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            return df
         if resume and self.exists(name):
             return self.read(name)
         df = compute()
