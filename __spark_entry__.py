@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship audio+transcript dedup pipeline on a
+clips table derived deterministically from sf0.001 documents.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+/root/testdata tables; ``oracle_sql()`` gives DuckDB-equivalent SQL for
+every SQL-expressible operator (the rest get rows-only checks).
+
+Column names are aliased identically on both sides; every float output is
+rounded (4 dp) or computed in DECIMAL so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +15,588 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full audio dedup pipeline over a clips table synthesized
+    deterministically from sf0.001 documents (doc text -> transcript,
+    seeded sinusoid WAV -> bytes). Returns (clip_id, cluster_id,
+    cluster_size)."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_deduplication_spark.audio.wav import encode_wav
+    from entity_deduplication_spark.plans.pipeline import DedupPipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").toPandas()
+    rows = []
+    for _, r in docs.iterrows():
+        # unique per-doc audio (3 seeded sinusoids + noise) so audio-LSH
+        # merges require real similarity; duplicate structure comes from
+        # the documents table's planted near-dup texts
+        rng = np.random.default_rng(int(r["doc_id"]) + 1)
+        sr = 8000
+        t = np.arange(sr // 4) / sr
+        pcm = sum(
+            float(rng.uniform(0.1, 0.3))
+            * np.sin(2 * np.pi * float(rng.uniform(100, 3500)) * t
+                     + float(rng.uniform(0, 6.28)))
+            for _ in range(3)
+        ).astype(np.float32)
+        rows.append(
+            dict(
+                clip_id=f"clip_{int(r['doc_id']):08d}",
+                bytes=encode_wav(pcm + rng.normal(0, 0.001, len(pcm)).astype(np.float32), sr),
+                sr_hz=sr,
+                dur_ms=250,
+                codec="pcm_s16le",
+                transcript=r["text"] or "",
+            )
+        )
+    clips = spark.createDataFrame(pd.DataFrame(rows))
+    # corpus-appropriate thresholds: the documents word pool is ~30 words,
+    # so short exact runs are common across unrelated docs — require long
+    # runs / high jaccard so clusters reflect the planted near-dup pairs
+    from entity_deduplication_spark.config import DedupConfig
+
+    cfg = DedupConfig(min_run_chars=80, jaccard_threshold=0.85)
+    res = DedupPipeline(spark, cfg).run(clips)
+    sizes = res.clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return res.clusters.join(sizes, "cluster_id").select(
+        "clip_id", "cluster_id", "cluster_size"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family (documents)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", F.col("text")).select(
+        "doc_id", F.col("cluster_id").alias("cluster_id")
+    )
+
+
+def q_dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    clustered = exact_dedup(docs, "doc_id", F.col("text")).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+        )
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD)
+
+
+def q_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import ngram_jaccard_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_clusters(docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD)
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import ngram_jaccard_clusters
+    from entity_deduplication_spark.operators.stats import cluster_size_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = ngram_jaccard_clusters(docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD)
+    return cluster_size_histogram(clusters)
+
+
+def q_minhash_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "doc_id", "text")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.functions.quality import (
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(mean_word_len(F.col("text")), 4).alias("mean_word_len"),
+        F.round(stopword_ratio(F.col("text"), STOPWORDS), 4).alias("stopword_ratio"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.functions.quality import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 2).alias("quality")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.functions.quality import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp_md5"))
+
+
+def q_lang_source_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_deduplication_spark.functions.quality import lang_id_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_udf()(F.col("text")).alias("lang_guess"))
+
+
+# --------------------------------------------------------------------------
+# events (windowed aggregation / sessionization)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    return ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (>30 min starts a new session)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operator coverage (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(28,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+            "rn",
+        )
+    )
+
+
+def q_blocking_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-prefix blocking stats (reference B7): block sizes + pair counts."""
+    cust = _t(spark, sf_dir, "customer")
+    keyed = cust.select(F.substring("c_name", 1, 16).alias("block_key"), "c_custkey")
+    return keyed.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias("n_pairs"),
+    )
+
+
+def q_sorted_neighborhood_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood pair counts per nation (reference B16)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_name")
+    ranked = cust.withColumn("rn", F.row_number().over(w))
+    a = ranked.select("c_nationkey", F.col("rn").alias("rn1"))
+    b = ranked.select("c_nationkey", F.col("rn").alias("rn2"))
+    window = 3
+    pairs = a.join(b, "c_nationkey").filter(
+        (F.col("rn2") > F.col("rn1")) & (F.col("rn2") <= F.col("rn1") + window)
+    )
+    return pairs.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # dedup family
+        "dedup_exact_clusters": q_dedup_exact_clusters,
+        "dedup_exact_canonical": q_dedup_exact_canonical,
+        "dedup_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_ngram_clusters": q_ngram_clusters,
+        "dedup_cluster_size_histogram": q_cluster_size_histogram,
+        "dedup_minhash_lsh_clusters": q_minhash_lsh_clusters,  # rows-only
+        "dedup_simhash_pairs": q_simhash_pairs,  # rows-only
+        # similarity search
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
+        # text analysis
+        "text_stats": q_text_stats,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_source_dist": q_lang_source_dist,
+        "lang_id_heuristic": q_lang_id_heuristic,  # rows-only
+        # events
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        # relational coverage
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "blocking_prefix_pairs": q_blocking_prefix_pairs,
+        "sorted_neighborhood_stats": q_sorted_neighborhood_stats,
+        "region_rollup": q_region_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NGRAM_GRAMS_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+{NGRAM_N - 1}], ' ')
+                               for i in range(1, len(w) - {NGRAM_N - 2})])) AS gram
+  FROM toks WHERE len(w) >= {NGRAM_N}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+)
+"""
+
+_NGRAM_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+edges AS (SELECT id1, id2 FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}),
+sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+),
+labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "dedup_exact_clusters": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+            FROM documents
+        """,
+        "dedup_exact_canonical": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     min(doc_id) OVER (PARTITION BY text) AS cluster_id
+              FROM documents
+            ), r AS (
+              SELECT cluster_id, doc_id, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+              ) AS rn FROM c
+            )
+            SELECT cluster_id, count(*) AS cluster_size,
+                   min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id
+            FROM r GROUP BY cluster_id
+        """,
+        "dedup_ngram_jaccard_pairs": f"""
+            WITH {_NGRAM_GRAMS_CTE}
+            SELECT id1, id2, round(jaccard, 4) AS jaccard
+            FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}
+        """,
+        "dedup_ngram_clusters": _NGRAM_CLUSTERS_SQL,
+        "dedup_cluster_size_histogram": f"""
+            WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+            edges AS (SELECT id1, id2 FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}),
+            sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+            ),
+            labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            assign AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l USING (doc_id)
+            ),
+            csizes AS (SELECT cluster_id, count(*) AS sz FROM assign GROUP BY cluster_id)
+            SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                        WHEN sz BETWEEN 3 AND 5 THEN '3-5'
+                        WHEN sz BETWEEN 6 AND 10 THEN '6-10'
+                        WHEN sz BETWEEN 11 AND 20 THEN '11-20'
+                        WHEN sz BETWEEN 21 AND 50 THEN '21-50'
+                        ELSE '50+' END AS bucket,
+                   count(*) AS n_clusters
+            FROM csizes GROUP BY 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                           4) AS cos_sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+              ) AS rank FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                         4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                     list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                             x -> length(x))) * 1.0 /
+                     len(regexp_split_to_array(trim(text), '\\s+')) END, 4) AS mean_word_len,
+                   round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                     x -> list_contains([{sw}], x))) * 1.0 /
+                     len(regexp_split_to_array(trim(text), '\\s+')) END, 4) AS stopword_ratio
+            FROM documents
+        """,
+        "doc_quality": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                       list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                               x -> length(x))) * 1.0 /
+                       len(regexp_split_to_array(trim(text), '\\s+')) END AS wl,
+                     CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 /
+                       length(text) END AS pr
+              FROM documents
+            )
+            SELECT doc_id,
+                   round((CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0 END) +
+                         (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 0.3::DOUBLE ELSE 0.0 END) +
+                         (CASE WHEN pr <= 0.2 THEN 0.3::DOUBLE ELSE 0.0 END), 2) AS quality
+            FROM s
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "lang_source_dist": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type, count(*) AS n_events,
+                   sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+                   sum(value::DECIMAL(18,2))::DOUBLE AS session_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+                   sum((l_extendedprice::DECIMAL(18,2) *
+                        (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE
+                     AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     o_totalprice::DECIMAL(18,2)::DOUBLE AS total_price,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, total_price, rn FROM r WHERE rn <= 3
+        """,
+        "blocking_prefix_pairs": """
+            SELECT substr(c_name, 1, 16) AS block_key, count(*) AS n_ids,
+                   (count(*) * (count(*) - 1) / 2)::BIGINT AS n_pairs
+            FROM customer GROUP BY 1
+        """,
+        "sorted_neighborhood_stats": """
+            WITH r AS (
+              SELECT c_nationkey, row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY c_name) AS rn
+              FROM customer
+            )
+            SELECT a.c_nationkey, count(*) AS n_pairs
+            FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey
+            WHERE b.rn > a.rn AND b.rn <= a.rn + 3
+            GROUP BY a.c_nationkey
+        """,
+        "region_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+    }

@@ -34,6 +34,11 @@ class DedupConfig:
     hop_ms: int = 10
     audio_shingle_k: int = 4      # frames per audio shingle
     audio_quant_levels: int = 8
+    # degenerate-signature guard: stationary audio collapses to a handful
+    # of distinct shingles, making unrelated clips Jaccard-1.0; signatures
+    # below this set size carry no audio evidence (analogue of the
+    # reference's len>=8 phone / multi-word name guards, P9/B2/B6)
+    min_audio_shingles: int = 4
 
     # --- suffix-array substring stage ---
     min_run_chars: int = 20       # exact-run length for a candidate

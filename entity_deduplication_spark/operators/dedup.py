@@ -1,0 +1,189 @@
+"""High-level dedup operator family over generic document tables.
+
+Each operator returns either a ``(id, cluster_id)`` cluster assignment or
+an ``(id1, id2, ...)`` pair table, built from the same engine primitives
+as the audio pipeline (shingles -> signatures -> blocking -> verify -> CC).
+These generalize the reference's per-strategy resolvers
+(resolvers/rule_based.py, resolvers/deterministic_feature.py) to any
+table with an id + text (or embedding) column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from entity_deduplication_spark.config import DedupConfig
+from entity_deduplication_spark.functions.hashing import (
+    band_keys,
+    minhash_udf,
+    simhash_udf,
+)
+from entity_deduplication_spark.functions.similarity import (
+    cosine,
+    hamming_similarity,
+    jaccard,
+)
+from entity_deduplication_spark.functions.text import word_shingles
+from entity_deduplication_spark.operators.connected_components import (
+    connected_components,
+)
+from entity_deduplication_spark.operators.pairs import block_self_join_pairs
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """(id, cluster_id) where cluster_id = min id among rows with equal key.
+
+    Hash-groupBy exact dedup (reference B1/B6 exact blocks) as one window —
+    single shuffle, no join, no CC needed for an equality relation.
+    """
+    w = Window.partitionBy(key)
+    return df.select(
+        F.col(id_col), F.min(F.col(id_col)).over(w).alias("cluster_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_size_limit: int = 10_000,
+) -> DataFrame:
+    """(id1, id2, jaccard) for word-n-gram Jaccard >= threshold.
+
+    Pure relational set-similarity join (explode -> equi-join -> count),
+    no sketching — the exact counterpart the MinHash path approximates,
+    and the DuckDB-oracle-friendly formulation of reference B8/B9.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .filter(F.size(words) >= n)  # also avoids sequence() negative-step
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - n),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_grams").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_grams").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def ngram_jaccard_clusters(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Connected components over the exact n-gram Jaccard pair graph."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return connected_components(
+        pairs, nodes=df.select(F.col(id_col).alias("clip_id")), node_id="clip_id"
+    ).withColumnRenamed("clip_id", id_col)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """(id, cluster_id) via shingle -> MinHash -> LSH bands -> Jaccard
+    verify -> connected components. The scale path for text dedup."""
+    cfg = cfg or DedupConfig()
+    sig = df.select(
+        F.col(id_col).alias("clip_id"),
+        word_shingles(F.col(text_col), cfg.shingle_k).alias("shingles"),
+    )
+    sig = sig.withColumn(
+        "minhash", minhash_udf(cfg.minhash_k, cfg.minhash_seed)(F.col("shingles"))
+    ).withColumn("bands", band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows))
+    sig = sig.persist()
+    banded = sig.select(
+        "clip_id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    cand = block_self_join_pairs(
+        banded,
+        key_cols=["band_idx", "band_key"],
+        block_size_limit=cfg.block_size_limit,
+        salt_buckets=cfg.salt_buckets,
+    )
+    feat = cand.join(
+        sig.select(F.col("clip_id").alias("id1"), F.col("shingles").alias("s1")), "id1"
+    ).join(
+        sig.select(F.col("clip_id").alias("id2"), F.col("shingles").alias("s2")), "id2"
+    )
+    edges = feat.withColumn("j", jaccard(F.col("s1"), F.col("s2"))).filter(
+        F.col("j") >= cfg.jaccard_threshold
+    )
+    return connected_components(
+        edges.select("id1", "id2"), nodes=sig.select("clip_id")
+    ).withColumnRenamed("clip_id", id_col)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """(id1, id2, hamming_sim) pairs within the SimHash Hamming radius."""
+    from entity_deduplication_spark.operators.blocking import simhash_block_pairs
+
+    cfg = cfg or DedupConfig()
+    sig = df.select(
+        F.col(id_col).alias("clip_id"),
+        word_shingles(F.col(text_col), cfg.shingle_k).alias("shingles"),
+    ).withColumn("simhash", simhash_udf(F.col("shingles"))).persist()
+    cand = simhash_block_pairs(sig, cfg)
+    feat = cand.join(
+        sig.select(F.col("clip_id").alias("id1"), F.col("simhash").alias("h1")), "id1"
+    ).join(
+        sig.select(F.col("clip_id").alias("id2"), F.col("simhash").alias("h2")), "id2"
+    )
+    out = feat.withColumn(
+        "hamming_sim", hamming_similarity(F.col("h1"), F.col("h2"))
+    ).filter(F.col("hamming_sim") >= 1.0 - cfg.simhash_hamming_max / 64.0)
+    return out.select("id1", "id2", F.round("hamming_sim", 4).alias("hamming_sim"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id1, id2, cos_sim) embedding near-duplicate pairs above threshold.
+
+    Brute-force formulation (exact); for scale, route through
+    operators.ann.rhp_bucket_pairs which blocks on random-hyperplane LSH
+    buckets before the exact cosine verify.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
+    )

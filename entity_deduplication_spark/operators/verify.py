@@ -61,11 +61,16 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     w = cfg.weights
     t_j = jaccard(F.col("shingles_1"), F.col("shingles_2"))
-    a_j = (
-        jaccard(F.col("audio_shingles_1"), F.col("audio_shingles_2"))
-        if "audio_shingles_1" in feat.columns
-        else F.lit(0.0)
-    )
+    if "audio_shingles_1" in feat.columns:
+        # degenerate-signature guard (see DedupConfig.min_audio_shingles)
+        a_ok = (F.size("audio_shingles_1") >= cfg.min_audio_shingles) & (
+            F.size("audio_shingles_2") >= cfg.min_audio_shingles
+        )
+        a_j = F.when(
+            a_ok, jaccard(F.col("audio_shingles_1"), F.col("audio_shingles_2"))
+        ).otherwise(F.lit(0.0))
+    else:
+        a_j = F.lit(0.0)
     s_h = (
         hamming_similarity(F.col("simhash_1"), F.col("simhash_2"))
         if "simhash_1" in feat.columns

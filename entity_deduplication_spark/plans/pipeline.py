@@ -71,7 +71,10 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     sig = sig.withColumn(
         "audio_bands",
-        band_keys(F.col("audio_minhash"), cfg.lsh_bands, cfg.lsh_rows),
+        F.when(
+            F.size("audio_shingles") >= cfg.min_audio_shingles,
+            band_keys(F.col("audio_minhash"), cfg.lsh_bands, cfg.lsh_rows),
+        ).otherwise(F.array().cast("array<bigint>")),
     )
     sig = sig.withColumn("n_words", F.size(F.split(F.col("transcript_norm"), " ")))
     return sig
