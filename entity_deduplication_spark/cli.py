@@ -1,0 +1,78 @@
+"""spark-submit entry point (north_rule packaging).
+
+Usage (cluster):
+
+    zip -r engine.zip entity_deduplication_spark
+    spark-submit --py-files engine.zip -m entity_deduplication_spark.cli \
+        --input  <parquet-or-iceberg-table-of-clips> \
+        --output <dir-or-table-prefix> \
+        --checkpoint-dir <durable-path> \
+        [--resume] [--match-threshold 0.75] [--block-size-limit 1000]
+
+Replays the reference CLI surface (reference run.py:24-43: --input,
+--output-dir, --block-size-limit, thresholds) on the Spark engine.
+Every stage checkpoint lands under --checkpoint-dir; rerunning with
+--resume continues from the last completed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="entity_deduplication_spark")
+    p.add_argument("--input", required=True, help="clips parquet path / Iceberg table")
+    p.add_argument("--output", required=True, help="output prefix (parquet dirs)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="reuse existing stage checkpoints")
+    p.add_argument("--match-threshold", type=float, default=0.75)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--block-size-limit", type=int, default=1000)
+    p.add_argument("--min-run-chars", type=int, default=20)
+    p.add_argument("--cores", type=int, default=None,
+                   help="local-mode parallelism (ignored under a cluster master)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from entity_deduplication_spark.config import DedupConfig
+    from entity_deduplication_spark.plans.pipeline import DedupPipeline
+    from entity_deduplication_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark(app_name="entity-dedup", cores=args.cores)
+
+    cfg = DedupConfig(
+        match_threshold=args.match_threshold,
+        jaccard_threshold=args.jaccard_threshold,
+        block_size_limit=args.block_size_limit,
+        min_run_chars=args.min_run_chars,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    clips = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
+    res = pipe.run(clips, resume=args.resume)
+
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.canonical.drop("record_ids").write.mode("overwrite").parquet(
+        f"{args.output}/canonical"
+    )
+    metrics = {r: v for r, v in zip(res.metrics.columns, res.metrics.first())}
+    metrics["wall_seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

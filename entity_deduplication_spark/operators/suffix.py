@@ -60,14 +60,32 @@ def _fingerprint_blocks(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def run_verify_udf(min_len: int):
+    """Batch verifier: does the pair share an exact run >= min_len?
+
+    Checked via L-gram rolling-hash intersection (O(n) numpy per string;
+    a shared 64-bit L-gram hash == a shared L-char run up to hash
+    collisions at ~2^-64). Returns min_len when found else 0 — the
+    pipeline thresholds on >= min_len, so the exact maximal run length
+    (available via functions.suffix.longest_common_run) is not recomputed
+    on the hot path.
+    """
+
     @F.pandas_udf(T.IntegerType())
     def _run_len(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        from entity_deduplication_spark.functions.suffix import (
+            rolling_kgram_hashes,
+        )
+
         out = np.zeros(len(t1), dtype=np.int32)
         for i, (a, b) in enumerate(zip(t1, t2)):
             if not a or not b:
                 continue
-            pairs = common_run_pairs(["a", "b"], [a, b], min_len=min_len)
-            out[i] = pairs[0][2] if pairs else 0
+            h1 = rolling_kgram_hashes(a, min_len)
+            if h1.size == 0:
+                continue
+            h2 = rolling_kgram_hashes(b, min_len)
+            if h2.size and np.intersect1d(h1, h2).size:
+                out[i] = min_len
         return pd.Series(out)
 
     return _run_len

@@ -88,18 +88,37 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     scored = scored.withColumn("simhash_sim", s_h)
     scored = scored.withColumn("is_exact", exact)
 
+    # exact substring-run evidence (suffix/winnowing family): cheap
+    # L-gram-hash intersection per pair, Arrow-batched
+    if "transcript_norm_1" in feat.columns:
+        from entity_deduplication_spark.operators.suffix import run_verify_udf
+
+        scored = scored.withColumn(
+            "run_len",
+            run_verify_udf(cfg.min_run_chars)(
+                F.col("transcript_norm_1"), F.col("transcript_norm_2")
+            ),
+        )
+    else:
+        scored = scored.withColumn("run_len", F.lit(0))
+
     strong_t = F.col("transcript_jaccard") >= cfg.jaccard_threshold
     strong_a = F.col("audio_jaccard") >= cfg.audio_jaccard_threshold
     # SimHash similarity is only "strong" inside the Hamming radius
     strong_s = F.col("simhash_sim") >= 1.0 - cfg.simhash_hamming_max / 64.0
+    strong_r = F.col("run_len") >= cfg.min_run_chars
 
     primary = F.greatest(
         F.col("transcript_jaccard") * w["transcript_jaccard"],
         F.col("audio_jaccard") * w["audio_jaccard"],
         F.col("simhash_sim") * w["simhash"] * strong_s.cast("double"),
+        F.lit(w["substring_run"]) * strong_r.cast("double"),
     )
     n_strong = (
-        strong_t.cast("int") + strong_a.cast("int") + strong_s.cast("int")
+        strong_t.cast("int")
+        + strong_a.cast("int")
+        + strong_s.cast("int")
+        + strong_r.cast("int")
     )
     support = F.when(n_strong >= 2, (n_strong - 1) * F.lit(0.05)).otherwise(0.0)
     score = F.when(F.col("is_exact"), F.lit(1.0)).otherwise(

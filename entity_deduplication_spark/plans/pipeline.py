@@ -31,17 +31,12 @@ from entity_deduplication_spark.functions.hashing import (
     simhash_udf,
 )
 from entity_deduplication_spark.functions.text import normalize_text, word_shingles
-from entity_deduplication_spark.operators.blocking import (
-    lsh_band_pairs,
-    simhash_block_pairs,
-)
 from entity_deduplication_spark.operators.canonical import elect_canonical
 from entity_deduplication_spark.operators.connected_components import (
     connected_components,
 )
 from entity_deduplication_spark.operators.pairs import chain_edges_within_block
 from entity_deduplication_spark.operators.stats import dedup_metrics
-from entity_deduplication_spark.operators.suffix import substring_run_pairs
 from entity_deduplication_spark.operators.verify import verified_edges
 from entity_deduplication_spark.sources.io import CheckpointManager
 
@@ -77,27 +72,75 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
         ).otherwise(F.array().cast("array<bigint>")),
     )
     sig = sig.withColumn("n_words", F.size(F.split(F.col("transcript_norm"), " ")))
+    # winnowed substring fingerprints (operators.suffix): a 4th band family
+    # in the unified blocking stage; complete for runs >= min_run_chars
+    from entity_deduplication_spark.operators.suffix import fingerprints_udf
+
+    sig = sig.withColumn("fps", fingerprints_udf(cfg)(F.col("transcript_norm")))
     return sig
 
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Union of per-strategy candidate pair sets, deduped across strategies
-    (reference deterministic_feature.py:212-217,242-247 →
-    unionByName + dropDuplicates)."""
-    text_lsh = lsh_band_pairs(signatures, cfg, bands_col="bands").withColumn(
-        "block_type", F.lit("text_lsh")
+    """Candidate pairs from ALL blocking strategies via one unified block
+    table -> one skew-aware self-join.
+
+    The reference unions per-strategy pair dicts
+    (deterministic_feature.py:212-217,242-247); here the *block keys* are
+    unioned first — (strategy, band_idx, band_key, clip_id) — so the
+    window-count, self-join, and cross-strategy pair dedup run once
+    instead of three times (one shuffle chain instead of three).
+    """
+    from entity_deduplication_spark.operators.pairs import block_self_join_pairs
+
+    def _banded(bands_col: str, src: int) -> DataFrame:
+        return signatures.select(
+            "clip_id", F.posexplode(F.col(bands_col)).alias("band_idx", "band_key")
+        ).select("clip_id", F.lit(src).alias("src"), "band_idx", "band_key")
+
+    # simhash prefix rotations as a third band family
+    bits, p = 64, cfg.simhash_block_bits
+    n_rot = 4
+    rot_structs = []
+    for r in range(n_rot):
+        shift = (bits // n_rot) * r
+        rotated = (
+            F.shiftleft(F.col("simhash"), shift).bitwiseOR(
+                F.shiftrightunsigned(F.col("simhash"), bits - shift)
+            )
+            if shift
+            else F.col("simhash")
+        )
+        rot_structs.append(
+            F.struct(
+                F.lit(r).alias("band_idx"),
+                F.shiftrightunsigned(rotated, bits - p).alias("band_key"),
+            )
+        )
+    sim_banded = signatures.select(
+        "clip_id", F.explode(F.array(*rot_structs)).alias("rb")
+    ).select(
+        "clip_id",
+        F.lit(2).alias("src"),
+        F.col("rb.band_idx").alias("band_idx"),
+        F.col("rb.band_key").alias("band_key"),
     )
-    audio_lsh = lsh_band_pairs(signatures, cfg, bands_col="audio_bands").withColumn(
-        "block_type", F.lit("audio_lsh")
+
+    fp_banded = signatures.select(
+        "clip_id", F.explode("fps").alias("band_key")
+    ).select("clip_id", F.lit(3).alias("src"), F.lit(0).alias("band_idx"), "band_key")
+
+    unified = (
+        _banded("bands", 0)
+        .unionByName(_banded("audio_bands", 1))
+        .unionByName(sim_banded)
+        .unionByName(fp_banded)
     )
-    sim_pairs = simhash_block_pairs(signatures, cfg).withColumn(
-        "block_type", F.lit("simhash")
-    )
-    allp = text_lsh.unionByName(audio_lsh).unionByName(sim_pairs)
-    # keep one row per pair, remember the first block type (deterministic order)
-    return (
-        allp.groupBy("id1", "id2")
-        .agg(F.min("block_type").alias("block_type"))
+    return block_self_join_pairs(
+        unified,
+        key_cols=["src", "band_idx", "band_key"],
+        id_col="clip_id",
+        block_size_limit=cfg.block_size_limit,
+        salt_buckets=cfg.salt_buckets,
     )
 
 
@@ -160,13 +203,9 @@ class DedupPipeline:
             "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
         )
         verified = verified_edges(cand.select("id1", "id2"), sig, cfg)
-        substring = substring_run_pairs(sig, cfg).select(
-            "id1", "id2", F.lit(cfg.weights["substring_run"]).alias("score")
-        )
         edges = self.ckpt.get_or_compute(
             "edges",
             lambda: verified.unionByName(exact_edges(sig, cfg))
-            .unionByName(substring)
             .groupBy("id1", "id2")
             .agg(F.max("score").alias("score")),
             resume=resume,
