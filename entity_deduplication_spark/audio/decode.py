@@ -102,6 +102,45 @@ def audio_shingles_udf(frame_ms: int, hop_ms: int, k: int, levels: int):
     return _audio_shingles
 
 
+def audio_signature_udf(
+    frame_ms: int,
+    hop_ms: int,
+    k: int,
+    levels: int,
+    minhash_k: int,
+    minhash_seed: int,
+):
+    """Fused kernel: bytes -> struct(audio_shingles, audio_minhash).
+
+    Decode + frame features + quantize + shingle + MinHash in one Arrow
+    round trip, so raw ``bytes`` and the shingle arrays cross the
+    JVM<->Python boundary exactly once."""
+    from entity_deduplication_spark.functions.hashing import (
+        _hash_params,
+        _minhash_batch,
+    )
+
+    a, b = _hash_params(minhash_k, minhash_seed)
+
+    @F.pandas_udf("audio_shingles array<bigint>, audio_minhash array<bigint>")
+    def _audio_sig(raw: pd.Series) -> pd.DataFrame:
+        shingles = []
+        for blob in raw:
+            if blob is None:
+                shingles.append([])
+                continue
+            pcm, sr = decode_wav(blob)
+            feats = _frame_features(pcm, sr, frame_ms, hop_ms)
+            sym = _quantize(feats, levels)
+            shingles.append(_shingle_hash(sym, k).tolist())
+        ser = pd.Series(shingles)
+        return pd.DataFrame(
+            {"audio_shingles": ser, "audio_minhash": _minhash_batch(ser, a, b)}
+        )
+
+    return _audio_sig
+
+
 def decode_map_in_pandas_schema() -> str:
     return "clip_id string, pcm array<float>, sr_hz int"
 

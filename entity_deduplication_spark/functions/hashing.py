@@ -90,6 +90,25 @@ def simhash_udf(shingles: pd.Series) -> pd.Series:
     return _simhash_batch(shingles)
 
 
+def text_signature_udf(k: int, seed: int):
+    """Fused kernel: shingles -> struct(minhash array<bigint>, simhash
+    bigint). One Arrow round trip instead of two — shingle arrays are the
+    widest column in the signature stage, so serializing them to Python
+    once matters."""
+    a, b = _hash_params(k, seed)
+
+    @F.pandas_udf("minhash array<bigint>, simhash bigint")
+    def _sig(shingles: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "minhash": _minhash_batch(shingles, a, b),
+                "simhash": _simhash_batch(shingles),
+            }
+        )
+
+    return _sig
+
+
 def band_keys(minhash_col: Column, bands: int, rows: int) -> Column:
     """Slice a MinHash signature into b bands of r rows; hash each band.
 

@@ -81,7 +81,9 @@ def connected_components(
     for _ in range(max_iterations):
         if prev[0] == 0:
             break
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the signature aggregation below is the action
+        # that materializes it — one job per iteration instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev:
             break

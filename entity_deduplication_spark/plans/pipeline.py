@@ -23,13 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entity_deduplication_spark.audio.decode import audio_shingles_udf
 from entity_deduplication_spark.config import DedupConfig
-from entity_deduplication_spark.functions.hashing import (
-    band_keys,
-    minhash_udf,
-    simhash_udf,
-)
+from entity_deduplication_spark.functions.hashing import band_keys
 from entity_deduplication_spark.functions.text import normalize_text, word_shingles
 from entity_deduplication_spark.operators.canonical import elect_canonical
 from entity_deduplication_spark.operators.connected_components import (
@@ -47,20 +42,35 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     Columns: clip_id, transcript_norm, bytes_md5, shingles, audio_shingles,
     minhash, simhash, bands, audio_bands, n_words.
     """
-    mh = minhash_udf(cfg.minhash_k, cfg.minhash_seed)
-    ash = audio_shingles_udf(
-        cfg.frame_ms, cfg.hop_ms, cfg.audio_shingle_k, cfg.audio_quant_levels
+    from entity_deduplication_spark.audio.decode import audio_signature_udf
+    from entity_deduplication_spark.functions.hashing import text_signature_udf
+
+    tsig = text_signature_udf(cfg.minhash_k, cfg.minhash_seed)
+    asig = audio_signature_udf(
+        cfg.frame_ms,
+        cfg.hop_ms,
+        cfg.audio_shingle_k,
+        cfg.audio_quant_levels,
+        cfg.minhash_k,
+        cfg.minhash_seed,
     )
     sig = clips.select(
         "clip_id",
         normalize_text(F.col("transcript")).alias("transcript_norm"),
         F.md5(F.col("bytes")).alias("bytes_md5"),
         word_shingles(F.col("transcript"), cfg.shingle_k).alias("shingles"),
-        ash(F.col("bytes")).alias("audio_shingles"),
+        asig(F.col("bytes")).alias("_a"),
     )
-    sig = sig.withColumn("minhash", mh(F.col("shingles")))
-    sig = sig.withColumn("audio_minhash", mh(F.col("audio_shingles")))
-    sig = sig.withColumn("simhash", simhash_udf(F.col("shingles")))
+    sig = sig.withColumn("_t", tsig(F.col("shingles"))).select(
+        "clip_id",
+        "transcript_norm",
+        "bytes_md5",
+        "shingles",
+        F.col("_a.audio_shingles").alias("audio_shingles"),
+        F.col("_a.audio_minhash").alias("audio_minhash"),
+        F.col("_t.minhash").alias("minhash"),
+        F.col("_t.simhash").alias("simhash"),
+    )
     sig = sig.withColumn(
         "bands", band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows)
     )
