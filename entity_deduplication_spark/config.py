@@ -55,6 +55,7 @@ class DedupConfig:
 
     # --- clustering ---
     max_cluster_size: int = 50    # reference utils.py:73-98 split threshold
+    split_oversized: bool = False  # opt-in distributed analogue of the split
     cc_max_iterations: int = 50
 
     # --- misc ---

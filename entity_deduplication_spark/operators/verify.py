@@ -88,17 +88,27 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     scored = scored.withColumn("simhash_sim", s_h)
     scored = scored.withColumn("is_exact", exact)
 
-    # exact substring-run evidence (suffix/winnowing family): cheap
-    # L-gram-hash intersection per pair, Arrow-batched
+    # exact substring-run evidence (suffix/winnowing family): Arrow-batched
+    # L-gram-hash intersection. Evaluated ONLY for pairs not already decided
+    # by the pure-Catalyst evidence — Python UDFs inside when() branches are
+    # extracted into unconditional ArrowEvalPython nodes, so the gating must
+    # happen in the plan shape, not the expression (two-phase verify).
     if "transcript_norm_1" in feat.columns:
         from entity_deduplication_spark.operators.suffix import run_verify_udf
 
-        scored = scored.withColumn(
+        decided = (
+            F.col("is_exact")
+            | (F.col("transcript_jaccard") >= cfg.jaccard_threshold)
+            | (F.col("audio_jaccard") >= cfg.audio_jaccard_threshold)
+        )
+        easy = scored.filter(decided).withColumn("run_len", F.lit(0))
+        hard = scored.filter(~decided).withColumn(
             "run_len",
             run_verify_udf(cfg.min_run_chars)(
                 F.col("transcript_norm_1"), F.col("transcript_norm_2")
             ),
         )
+        scored = easy.unionByName(hard)
     else:
         scored = scored.withColumn("run_len", F.lit(0))
 
@@ -108,11 +118,28 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     strong_s = F.col("simhash_sim") >= 1.0 - cfg.simhash_hamming_max / 64.0
     strong_r = F.col("run_len") >= cfg.min_run_chars
 
+    # Evidence-family scoring invariant: a family above its own threshold
+    # CLEARS match_threshold (the oracle semantics — a pair is a duplicate
+    # iff some evidence family fires), scaled into [base, cap] by how far
+    # past the family threshold it is; sub-threshold evidence stays
+    # strictly below base and only the threshold filter decides.
+    base, cap = cfg.match_threshold, 0.95
+
+    def family(sim: F.Column, thr: float, weight: float) -> F.Column:
+        cleared = base + (sim - thr) / max(1.0 - thr, 1e-9) * (cap - base) * weight
+        return F.when(sim >= thr, cleared).otherwise(sim * weight * base / thr * 0.9)
+
     primary = F.greatest(
-        F.col("transcript_jaccard") * w["transcript_jaccard"],
-        F.col("audio_jaccard") * w["audio_jaccard"],
-        F.col("simhash_sim") * w["simhash"] * strong_s.cast("double"),
-        F.lit(w["substring_run"]) * strong_r.cast("double"),
+        family(F.col("transcript_jaccard"), cfg.jaccard_threshold,
+               w["transcript_jaccard"]),
+        family(F.col("audio_jaccard"), cfg.audio_jaccard_threshold,
+               w["audio_jaccard"]),
+        # SimHash approximates text Jaccard — supporting evidence only
+        # (never clears base alone; the oracle has no simhash family)
+        F.col("simhash_sim") * F.lit(base * 0.9),
+        F.when(strong_r, F.lit(base) + F.lit(0.05) * w["substring_run"]).otherwise(
+            F.lit(0.0)
+        ),
     )
     n_strong = (
         strong_t.cast("int")
@@ -120,7 +147,7 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
         + strong_s.cast("int")
         + strong_r.cast("int")
     )
-    support = F.when(n_strong >= 2, (n_strong - 1) * F.lit(0.05)).otherwise(0.0)
+    support = F.when(n_strong >= 2, (n_strong - 1) * F.lit(0.02)).otherwise(0.0)
     score = F.when(F.col("is_exact"), F.lit(1.0)).otherwise(
         F.least(primary + support, F.lit(0.99))
     )

@@ -220,15 +220,21 @@ class DedupPipeline:
             .agg(F.max("score").alias("score")),
             resume=resume,
         )
-        clusters = self.ckpt.get_or_compute(
-            "clusters",
-            lambda: connected_components(
+        def _cluster() -> DataFrame:
+            cl = connected_components(
                 edges,
                 nodes=sig.select("clip_id"),
                 max_iterations=cfg.cc_max_iterations,
-            ),
-            resume=resume,
-        )
+            )
+            if cfg.split_oversized:
+                from entity_deduplication_spark.operators.split import (
+                    split_oversized_clusters,
+                )
+
+                cl = split_oversized_clusters(cl, edges, cfg.max_cluster_size)
+            return cl
+
+        clusters = self.ckpt.get_or_compute("clusters", _cluster, resume=resume)
         clustered = clusters.join(
             sig.select("clip_id", "transcript_norm", "n_words"), "clip_id"
         )
