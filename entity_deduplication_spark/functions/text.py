@@ -46,7 +46,12 @@ def word_shingles(col: Column, k: int) -> Column:
         F.sequence(F.lit(0), n - k),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))),
     )
-    fallback = F.array(F.xxhash64(normalize_text(col)))
+    norm = normalize_text(col)
+    # empty/null text -> EMPTY set (a shared hash('') sentinel would give
+    # unrelated empty-transcript rows Jaccard 1.0 and merge them)
+    fallback = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) > 0, F.array(F.xxhash64(norm))
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(F.when(n >= k, shingled).otherwise(fallback))
 
 
@@ -58,5 +63,7 @@ def char_shingles(col: Column, k: int) -> Column:
         F.sequence(F.lit(1), ln - k + 1),
         lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
     )
-    fallback = F.array(F.xxhash64(norm))
+    fallback = F.when(
+        F.coalesce(ln, F.lit(0)) > 0, F.array(F.xxhash64(norm))
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(F.when(ln >= k, shingled).otherwise(fallback))

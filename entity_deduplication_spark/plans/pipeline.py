@@ -72,7 +72,11 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("_t.simhash").alias("simhash"),
     )
     sig = sig.withColumn(
-        "bands", band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows)
+        "bands",
+        F.when(
+            F.size("shingles") > 0,
+            band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows),
+        ).otherwise(F.array().cast("array<bigint>")),
     )
     sig = sig.withColumn(
         "audio_bands",
