@@ -29,29 +29,61 @@ def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _minhash_batch(shingle_lists: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
-    """MinHash a batch of shingle arrays with one vectorized pass.
+# persistent scratch buffers, reused across Arrow batches: this host (and
+# many container hosts) services *fresh* large mmap'd allocations at tens
+# of MB/s (THP/page-fault stalls) while recycled buffers run at memory
+# speed — the naive `a[:,None]*flat[None,:]` chain was 100x slower than
+# the same arithmetic into preallocated out= buffers.
+_CHUNK = 1 << 14  # shingles per chunk; buffers are k x _CHUNK uint64
+_SCRATCH: dict = {}
 
-    Concatenates every row's shingles into one flat uint64 stream, computes
-    the k×total hash matrix in blocks, then segment-mins with
-    ``np.minimum.reduceat`` — no per-row python.
-    """
+
+def _scratch(k: int, width: int) -> tuple[np.ndarray, np.ndarray]:
+    buf = _SCRATCH.get(k)
+    if buf is None or buf[0].shape[1] < width:
+        buf = (
+            np.empty((k, max(width, _CHUNK)), dtype=np.uint64),
+            np.empty((k, max(width, _CHUNK)), dtype=np.uint64),
+        )
+        _SCRATCH[k] = buf
+    return buf
+
+
+def _minhash_batch(shingle_lists: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
+    """MinHash a batch of shingle arrays, chunked over preallocated
+    buffers: (a*x+b) mod 2^61-1 built fully in-place, then
+    ``np.minimum.reduceat`` segment-mins — no per-row python, no fresh
+    large allocations."""
     k = len(a)
-    lens = shingle_lists.map(len).to_numpy(dtype=np.int64)
-    out = np.empty((len(lens), k), dtype=np.int64)
-    nonempty = lens > 0
-    if nonempty.any():
-        flat = np.concatenate(
-            [np.asarray(s, dtype=np.int64) for s in shingle_lists[nonempty]]
-        ).astype(np.uint64)
-        # (a * x + b) mod 2^61-1, in uint64 with lazy modular folding
-        hm = (flat[None, :] * a[:, None] + b[:, None])
-        hm = (hm & _MERSENNE) + (hm >> np.uint64(61))
-        hm = np.where(hm >= _MERSENNE, hm - _MERSENNE, hm)
-        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        mins = np.minimum.reduceat(hm, offsets, axis=1)  # k × n_nonempty
-        out[nonempty] = mins.T.astype(np.int64)
-    out[~nonempty] = -1
+    arrs = [np.asarray(s, dtype=np.uint64) for s in shingle_lists]
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    n = len(arrs)
+    out = np.full((n, k), -1, dtype=np.int64)
+    a_col, b_col = a[:, None], b[:, None]
+    i = 0
+    while i < n:
+        if lens[i] == 0:
+            i += 1
+            continue
+        j, tot = i, 0
+        while j < n and (j == i or (tot + lens[j] <= _CHUNK and lens[j] > 0)):
+            tot += lens[j]
+            j += 1
+        flat = arrs[i] if j == i + 1 else np.concatenate(arrs[i:j])
+        hm_full, tmp_full = _scratch(k, tot)
+        hm, tmp = hm_full[:, :tot], tmp_full[:, :tot]
+        np.multiply(a_col, flat[None, :], out=hm)
+        np.add(hm, b_col, out=hm)
+        np.right_shift(hm, np.uint64(61), out=tmp)
+        np.bitwise_and(hm, _MERSENNE, out=hm)
+        np.add(hm, tmp, out=hm)
+        # conditional final reduction: hm ∈ [0, M+7); hm-M wraps for hm<M
+        # to a value > hm, so minimum(hm, hm-M) == hm mod M
+        np.subtract(hm, _MERSENNE, out=tmp)
+        np.minimum(hm, tmp, out=hm)
+        offsets = np.concatenate(([0], np.cumsum(lens[i:j])[:-1]))
+        out[i:j] = np.minimum.reduceat(hm, offsets, axis=1).T.astype(np.int64)
+        i = j
     return pd.Series(list(out))
 
 
@@ -66,22 +98,43 @@ def minhash_udf(k: int, seed: int) -> Column:
     return _minhash
 
 
+_SIM_SCRATCH: list = []
+
+
 def _simhash_batch(shingle_lists: pd.Series) -> pd.Series:
-    """64-bit SimHash of each shingle array (bit-majority of member hashes)."""
-    lens = shingle_lists.map(len).to_numpy(dtype=np.int64)
-    out = np.zeros(len(lens), dtype=np.int64)
-    nonempty = lens > 0
-    if nonempty.any():
-        flat = np.concatenate(
-            [np.asarray(s, dtype=np.int64) for s in shingle_lists[nonempty]]
-        ).astype(np.uint64)
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        contrib = 2 * bits - 1  # ±1 per bit
-        offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
-        sums = np.add.reduceat(contrib, offsets, axis=0)  # n_nonempty × 64
-        sig_bits = (sums > 0).astype(np.uint64)
-        sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-        out[nonempty] = sigs.astype(np.int64)
+    """64-bit SimHash of each shingle array (bit-majority of member
+    hashes), chunked over a persistent ±1-bit scratch buffer."""
+    arrs = [np.asarray(s, dtype=np.uint64) for s in shingle_lists]
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    n = len(arrs)
+    out = np.zeros(n, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
+    if not _SIM_SCRATCH:
+        _SIM_SCRATCH.append(np.empty((_CHUNK, 64), dtype=np.uint64))
+    i = 0
+    while i < n:
+        if lens[i] == 0:
+            i += 1
+            continue
+        j, tot = i, 0
+        while j < n and (j == i or (tot + lens[j] <= _CHUNK and lens[j] > 0)):
+            tot += lens[j]
+            j += 1
+        flat = arrs[i] if j == i + 1 else np.concatenate(arrs[i:j])
+        if _SIM_SCRATCH[0].shape[0] < tot:
+            _SIM_SCRATCH[0] = np.empty((tot, 64), dtype=np.uint64)
+        bits = _SIM_SCRATCH[0][:tot]
+        np.right_shift(flat[:, None], shifts[None, :], out=bits)
+        np.bitwise_and(bits, np.uint64(1), out=bits)
+        offsets = np.concatenate(([0], np.cumsum(lens[i:j])[:-1]))
+        ones = np.add.reduceat(bits, offsets, axis=0)  # rows x 64, small
+        # majority vote per bit: set iff ones > half the row's shingles
+        sig_bits = (2 * ones > lens[i:j, None].astype(np.uint64)).astype(np.uint64)
+        out[i:j] = (sig_bits * weights[None, :]).sum(axis=1, dtype=np.uint64).astype(
+            np.int64
+        )
+        i = j
     return pd.Series(out)
 
 
