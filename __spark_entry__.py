@@ -415,13 +415,16 @@ def oracle_sql() -> dict[str, str]:
     sw = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
         "dedup_exact_clusters": """
-            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN doc_id
+                        ELSE min(doc_id) OVER (PARTITION BY text) END AS cluster_id
             FROM documents
         """,
         "dedup_exact_canonical": """
             WITH c AS (
               SELECT doc_id, n_chars,
-                     min(doc_id) OVER (PARTITION BY text) AS cluster_id
+                     CASE WHEN text IS NULL THEN doc_id
+                          ELSE min(doc_id) OVER (PARTITION BY text) END AS cluster_id
               FROM documents
             ), r AS (
               SELECT cluster_id, doc_id, row_number() OVER (

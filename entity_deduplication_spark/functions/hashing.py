@@ -19,7 +19,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MERSENNE = np.uint64((1 << 61) - 1)  # 2^61-1 prime for (a*x+b) mod p
+# Mersenne prime 2^61-1 used in the final reduction. NOTE: np.multiply on
+# uint64 wraps a*x mod 2^64 BEFORE the shift-add Mersenne reduction, so the
+# kernel computes reduce_p(wrap_64(a*x) + b) — a deterministic, well-mixed
+# hash family, but NOT the textbook universal family ((a*x+b) mod p): the
+# min-wise independence guarantee is heuristic, not provable. Empirically
+# (tests/test_hashing.py) Jaccard estimation error matches the 1/sqrt(k)
+# expectation; exact mod-p would need 32-bit limb splitting at ~2x the cost.
+_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _hash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -51,9 +58,9 @@ def _scratch(k: int, width: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _minhash_batch(shingle_lists: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
     """MinHash a batch of shingle arrays, chunked over preallocated
-    buffers: (a*x+b) mod 2^61-1 built fully in-place, then
-    ``np.minimum.reduceat`` segment-mins — no per-row python, no fresh
-    large allocations."""
+    buffers: reduce_{2^61-1}(wrap_64(a*x) + b) built fully in-place (see
+    _MERSENNE note), then ``np.minimum.reduceat`` segment-mins — no per-row
+    python, no fresh large allocations."""
     k = len(a)
     arrs = [np.asarray(s, dtype=np.uint64) for s in shingle_lists]
     lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))

@@ -37,10 +37,17 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
     Hash-groupBy exact dedup (reference B1/B6 exact blocks) as one window —
     single shuffle, no join, no CC needed for an equality relation.
+
+    NULL keys are singletons: Spark windows group all NULL partition keys
+    together, which would merge every null-keyed row into one cluster —
+    wrong dedup semantics ("unknown == unknown" is not evidence).
     """
     w = Window.partitionBy(key)
     return df.select(
-        F.col(id_col), F.min(F.col(id_col)).over(w).alias("cluster_id")
+        F.col(id_col),
+        F.when(key.isNull(), F.col(id_col))
+        .otherwise(F.min(F.col(id_col)).over(w))
+        .alias("cluster_id"),
     )
 
 

@@ -76,9 +76,14 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
         if "simhash_1" in feat.columns
         else F.lit(0.0)
     )
+    # eqNullSafe: a NULL digest/transcript never yields a NULL predicate —
+    # the two-phase split below routes on this flag, and under three-valued
+    # logic a NULL would silently drop the pair from BOTH branches.
     exact = (
-        (F.col("bytes_md5_1") == F.col("bytes_md5_2"))
-        & (F.col("transcript_norm_1") == F.col("transcript_norm_2"))
+        F.col("bytes_md5_1").eqNullSafe(F.col("bytes_md5_2"))
+        & F.col("bytes_md5_1").isNotNull()
+        & F.col("transcript_norm_1").eqNullSafe(F.col("transcript_norm_2"))
+        & F.col("transcript_norm_1").isNotNull()
         if "bytes_md5_1" in feat.columns
         else F.lit(False)
     )
@@ -96,10 +101,15 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     if "transcript_norm_1" in feat.columns:
         from entity_deduplication_spark.operators.suffix import run_verify_udf
 
-        decided = (
+        # total split: coalesce(..., False) guarantees every candidate row
+        # lands in exactly one branch even if an evidence column is NULL
+        # (e.g. NULL transcript_norm with equal digests) — otherwise
+        # filter(decided) and filter(~decided) would BOTH drop it.
+        decided = F.coalesce(
             F.col("is_exact")
             | (F.col("transcript_jaccard") >= cfg.jaccard_threshold)
-            | (F.col("audio_jaccard") >= cfg.audio_jaccard_threshold)
+            | (F.col("audio_jaccard") >= cfg.audio_jaccard_threshold),
+            F.lit(False),
         )
         easy = scored.filter(decided).withColumn("run_len", F.lit(0))
         hard = scored.filter(~decided).withColumn(

@@ -47,6 +47,8 @@ def normalize(t: str) -> str:
 
 def word_shingle_set(t: str, k: int) -> frozenset:
     toks = normalize(t).split()
+    if not toks:
+        return frozenset()  # empty text = EMPTY set (engine singleton semantics)
     if len(toks) < k:
         return frozenset([normalize(t)])
     return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
@@ -101,21 +103,26 @@ def _jaccard_pairs(sets: dict, threshold: float) -> set[tuple]:
 def oracle_dup_pairs(clips: pd.DataFrame, cfg: DedupConfig) -> set[tuple]:
     ids = clips["clip_id"].tolist()
 
-    # tier 1: exact bytes / exact normalized transcript
+    # tier 1: exact bytes / exact normalized transcript. Empty/NULL keys
+    # are skipped (mirrors the engine's empty-transcript singleton
+    # semantics — "both unknown" is not duplicate evidence).
     exact: set[tuple] = set()
     for key_fn in (
-        lambda r: bytes(r["bytes"]),
-        lambda r: normalize(r["transcript"]),
+        lambda r: bytes(r["bytes"]) if r["bytes"] is not None else b"",
+        lambda r: normalize(r["transcript"] or ""),
     ):
         groups: dict = {}
         for _, r in clips.iterrows():
-            groups.setdefault(key_fn(r), []).append(r["clip_id"])
+            key = key_fn(r)
+            if not key:
+                continue
+            groups.setdefault(key, []).append(r["clip_id"])
         for members in groups.values():
             exact.update(combinations(sorted(members), 2))
 
     # tier 2: transcript shingle Jaccard
     tsets = {
-        r["clip_id"]: word_shingle_set(r["transcript"], cfg.shingle_k)
+        r["clip_id"]: word_shingle_set(r["transcript"] or "", cfg.shingle_k)
         for _, r in clips.iterrows()
     }
     text_pairs = _jaccard_pairs(tsets, cfg.jaccard_threshold)
@@ -129,7 +136,7 @@ def oracle_dup_pairs(clips: pd.DataFrame, cfg: DedupConfig) -> set[tuple]:
 
     # tier 4: exact substring runs (only check pairs sharing a rare token
     # n-gram to keep the oracle O(n * candidates); complete for our corpus)
-    norm = {cid: normalize(t) for cid, t in zip(ids, clips["transcript"])}
+    norm = {cid: normalize(t or "") for cid, t in zip(ids, clips["transcript"])}
     sub_pairs = set()
     checked = set()
     inv: dict = {}
