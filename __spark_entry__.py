@@ -38,38 +38,54 @@ def entry(spark: SparkSession) -> DataFrame:
     deterministically from sf0.001 documents (doc text -> transcript,
     seeded sinusoid WAV -> bytes). Returns (clip_id, cluster_id,
     cluster_size)."""
-    import numpy as np
-    import pandas as pd
-
-    from entity_deduplication_spark.audio.wav import encode_wav
     from entity_deduplication_spark.plans.pipeline import DedupPipeline
 
-    docs = _t(spark, "/root/testdata/sf0.001", "documents").toPandas()
-    rows = []
-    for _, r in docs.iterrows():
-        # unique per-doc audio (3 seeded sinusoids + noise) so audio-LSH
-        # merges require real similarity; duplicate structure comes from
-        # the documents table's planted near-dup texts
-        rng = np.random.default_rng(int(r["doc_id"]) + 1)
+    def _synth(batches):
+        # executor-side clip synthesis: unique per-doc audio (3 seeded
+        # sinusoids + noise, rng keyed on doc_id so the result is identical
+        # under any partitioning) — audio-LSH merges require real
+        # similarity; duplicate structure comes from the documents table's
+        # planted near-dup texts. mapInPandas keeps the WAV bytes off the
+        # driver entirely (they flow straight into the signature stage).
+        import numpy as np
+        import pandas as pd
+
+        from entity_deduplication_spark.audio.wav import encode_wav
+
         sr = 8000
         t = np.arange(sr // 4) / sr
-        pcm = sum(
-            float(rng.uniform(0.1, 0.3))
-            * np.sin(2 * np.pi * float(rng.uniform(100, 3500)) * t
-                     + float(rng.uniform(0, 6.28)))
-            for _ in range(3)
-        ).astype(np.float32)
-        rows.append(
-            dict(
-                clip_id=f"clip_{int(r['doc_id']):08d}",
-                bytes=encode_wav(pcm + rng.normal(0, 0.001, len(pcm)).astype(np.float32), sr),
-                sr_hz=sr,
-                dur_ms=250,
-                codec="pcm_s16le",
-                transcript=r["text"] or "",
-            )
-        )
-    clips = spark.createDataFrame(pd.DataFrame(rows))
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rng = np.random.default_rng(int(doc_id) + 1)
+                pcm = sum(
+                    float(rng.uniform(0.1, 0.3))
+                    * np.sin(2 * np.pi * float(rng.uniform(100, 3500)) * t
+                             + float(rng.uniform(0, 6.28)))
+                    for _ in range(3)
+                ).astype(np.float32)
+                pcm = pcm + rng.normal(0, 0.001, len(pcm)).astype(np.float32)
+                out.append(
+                    dict(
+                        clip_id=f"clip_{int(doc_id):08d}",
+                        bytes=encode_wav(pcm, sr),
+                        sr_hz=sr,
+                        dur_ms=250,
+                        codec="pcm_s16le",
+                        transcript=text or "",
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    clips = docs.repartition(n_parts, "doc_id").mapInPandas(
+        _synth,
+        schema=(
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string"
+        ),
+    )
     # corpus-appropriate thresholds: the documents word pool is ~30 words,
     # so short exact runs are common across unrelated docs — require long
     # runs / high jaccard so clusters reflect the planted near-dup pairs
@@ -166,9 +182,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-LSH-bucketed near-dup pairs (the scale path), exact-verified;
+    band count auto-tuned so the miss probability at the threshold is
+    <= 1e-9 — the DuckDB brute-force oracle must match exactly."""
     from entity_deduplication_spark.operators.dedup import embedding_cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = _t(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
 
 
@@ -324,6 +343,192 @@ def q_sorted_neighborhood_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sorted Levenshtein similarity pairs (reference V1/V2 fuzzy
+    verify over a B10-style attribute block), DuckDB-oracle-able."""
+    from entity_deduplication_spark.operators.fuzzy import levenshtein_sim_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return levenshtein_sim_pairs(
+        part, "p_partkey", "p_name", F.col("p_brand"), threshold=0.7
+    )
+
+
+def q_fuzzy_token_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-semantics token_sort/token_set ratios (reference
+    rule_based.py:81) — InDel-based, not SQL-expressible; rows-only here,
+    pinned by unit tests against hand-computed values."""
+    from entity_deduplication_spark.operators.fuzzy import token_ratio_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return token_ratio_pairs(
+        part, "p_partkey", "p_name", F.col("p_brand"), threshold=85.0
+    )
+
+
+def q_canonical_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical election + per-field mode backfill (reference
+    utils.py:158-185): winners keep non-empty fields, gaps fill with the
+    cluster's most-common value. ``title`` is deterministically blanked on
+    every third doc to exercise the backfill branch."""
+    from entity_deduplication_spark.operators.canonical import (
+        backfill_canonical,
+        elect_canonical,
+    )
+    from entity_deduplication_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "title",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.col("lang")),
+    )
+    clusters = exact_dedup(docs, "doc_id", F.col("text"))
+    clustered = clusters.join(docs, "doc_id")
+    canonical = elect_canonical(clustered, id_col="doc_id", order_col="n_chars")
+    filled = backfill_canonical(canonical, clustered, mode_cols=["title"])
+    return filled.select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("title").alias("title_filled"),
+        "cluster_size",
+    )
+
+
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pair-counting Rand/ARI between two dedup strategies
+    (reference A7/A8, utils.py:273-331) — fully SQL-checkable."""
+    from entity_deduplication_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_clusters,
+    )
+    from entity_deduplication_spark.operators.stats import rand_index
+
+    docs = _t(spark, sf_dir, "documents")
+    a = exact_dedup(docs, "doc_id", F.col("text"))
+    b = ngram_jaccard_clusters(docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD)
+    return rand_index(a, b, id_col="doc_id")
+
+
+def q_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-strategy agreement matrix (reference comparison.py:193-231):
+    pairwise Rand/ARI across exact, n-gram, and MinHash-LSH clusterings.
+    Rows-only (the LSH strategy has no SQL oracle)."""
+    from entity_deduplication_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_clusters,
+    )
+    from entity_deduplication_spark.operators.stats import rand_index
+
+    docs = _t(spark, sf_dir, "documents")
+    strategies = {
+        "exact": exact_dedup(docs, "doc_id", F.col("text")),
+        "ngram": ngram_jaccard_clusters(
+            docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD
+        ),
+        "minhash_lsh": minhash_lsh_dedup(docs, "doc_id", "text"),
+    }
+    names = sorted(strategies)
+    out = None
+    for i, na in enumerate(names):
+        for nb in names[i + 1 :]:
+            ri = rand_index(
+                strategies[na], strategies[nb], id_col="doc_id"
+            ).select(
+                F.lit(na).alias("strategy_a"),
+                F.lit(nb).alias("strategy_b"),
+                "rand_index",
+                "adjusted_rand",
+            )
+            out = ri if out is None else out.unionByName(ri)
+    return out
+
+
+def q_name_suffix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-suffix blocking pairs (reference B3 phone-suffix recipe
+    shape) — thin key_equality_pairs instantiation."""
+    from entity_deduplication_spark.operators.blocking import key_equality_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return key_equality_pairs(
+        cust, "c_custkey", F.substring("c_name", -3, 3), key_name="suffix"
+    )
+
+
+def q_anagram_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-token (anagram) key blocking pairs (reference B11)."""
+    from entity_deduplication_spark.operators.blocking import key_equality_pairs
+    from entity_deduplication_spark.operators.fuzzy import token_sorted
+
+    part = _t(spark, sf_dir, "part")
+    return key_equality_pairs(
+        part, "p_partkey", token_sorted(F.col("p_name")), key_name="anagram_key"
+    )
+
+
+def q_stoplist_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-listed composite block stats (reference B4 email-domain
+    stoplist recipe): hot generic sources are excluded before blocking."""
+    from entity_deduplication_spark.operators.blocking import block_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return block_stats(
+        docs,
+        key_cols=["source", "lang"],
+        stoplist={"source": ["src18", "src7", "src6"]},
+    )
+
+
+def q_sorted_neighborhood_global_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL sorted-neighborhood pairs (reference B16) — scale-safe form:
+    range repartition + broadcast offsets + bucket join, never a
+    single-partition window or cross join."""
+    from entity_deduplication_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, sort_col="c_name", window=3, id_col="c_custkey"
+    )
+
+
+def q_ml_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic pair scorer (reference V6/V7 recast): distributed
+    batch-vectorized features, driver-side deterministic fit on the small
+    labeled sample, broadcast-weights scoring. Rows-only (model output);
+    gated by pytest vs a driver-side numpy oracle."""
+    from entity_deduplication_spark.operators.dedup import ngram_jaccard_pairs
+    from entity_deduplication_spark.operators.ml import (
+        pair_features,
+        score_with_model,
+        train_pair_scorer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, 0.1)
+    texts = docs.select("doc_id", "text")
+    feat = (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("id1"), F.col("text").alias("_t1")
+            ),
+            "id1",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("id2"), F.col("text").alias("_t2")
+            ),
+            "id2",
+        )
+    )
+    feat = pair_features(feat).persist()
+    labeled = feat.withColumn(
+        "label", (F.col("jaccard") >= 0.5).cast("double")
+    )
+    w, b = train_pair_scorer(labeled)
+    return score_with_model(feat, w, b).select("id1", "id2", "ml_score")
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -362,6 +567,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        # fuzzy verification (V1/V2 family)
+        "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
+        "fuzzy_token_ratio_pairs": q_fuzzy_token_ratio_pairs,  # rows-only
+        # canonical + agreement
+        "canonical_backfill": q_canonical_backfill,
+        "clustering_agreement": q_clustering_agreement,
+        "agreement_matrix": q_agreement_matrix,  # rows-only
+        # composite blocking recipes (B3/B4/B11/B16)
+        "name_suffix_pairs": q_name_suffix_pairs,
+        "anagram_key_pairs": q_anagram_key_pairs,
+        "stoplist_block_stats": q_stoplist_block_stats,
+        "sorted_neighborhood_global_pairs": q_sorted_neighborhood_global_pairs,
+        # ML scorer (V6/V7)
+        "ml_pair_scores": q_ml_pair_scores,  # rows-only
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -489,8 +708,7 @@ def oracle_sql() -> dict[str, str]:
                           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                          4) AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 300 AND b.vec_id < 300
-              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
         """,
@@ -601,5 +819,128 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "fuzzy_part_name_pairs": """
+            WITH p AS (
+              SELECT p_partkey, p_brand,
+                     array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS ts
+              FROM part
+            )
+            SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+                   round(1.0 - levenshtein(a.ts, b.ts)::DOUBLE /
+                         greatest(length(a.ts), length(b.ts), 1), 4) AS lev_sim
+            FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE round(1.0 - levenshtein(a.ts, b.ts)::DOUBLE /
+                        greatest(length(a.ts), length(b.ts), 1), 4) >= 0.7
+        """,
+        "canonical_backfill": """
+            WITH aug AS (
+              SELECT doc_id, n_chars, text,
+                     CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS title
+              FROM documents
+            ), c AS (
+              SELECT *, CASE WHEN text IS NULL THEN doc_id
+                             ELSE min(doc_id) OVER (PARTITION BY text) END AS cluster_id
+              FROM aug
+            ), w AS (
+              SELECT cluster_id, doc_id, title, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+              ) AS rn FROM c
+            ), modes AS (
+              SELECT cluster_id, title AS mode_title FROM (
+                SELECT cluster_id, title, row_number() OVER (
+                  PARTITION BY cluster_id ORDER BY count(*) DESC, title ASC
+                ) AS mrn
+                FROM c WHERE title IS NOT NULL AND length(title) > 0
+                GROUP BY cluster_id, title
+              ) WHERE mrn = 1
+            ), sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY cluster_id
+            )
+            SELECT w.cluster_id, w.doc_id AS canonical_doc_id,
+                   CASE WHEN w.title IS NULL OR length(w.title) = 0
+                        THEN m.mode_title ELSE w.title END AS title_filled,
+                   s.cluster_size
+            FROM w JOIN sizes s USING (cluster_id)
+            LEFT JOIN modes m USING (cluster_id)
+            WHERE w.rn = 1
+        """,
+        "clustering_agreement": f"""
+            WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+            edges AS (SELECT id1, id2 FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}),
+            sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+            ),
+            labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            assign_b AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cb
+              FROM documents d LEFT JOIN labels l USING (doc_id)
+            ),
+            assign_a AS (
+              SELECT doc_id, CASE WHEN text IS NULL THEN doc_id
+                                  ELSE min(doc_id) OVER (PARTITION BY text) END AS ca
+              FROM documents
+            ),
+            j AS (SELECT ca, cb FROM assign_a JOIN assign_b USING (doc_id)),
+            cont AS (SELECT ca, cb, count(*) AS nij FROM j GROUP BY 1, 2),
+            s AS (
+              SELECT sum(nij::DOUBLE * (nij - 1) / 2)::BIGINT AS ss,
+                     sum(nij)::BIGINT AS n
+              FROM cont
+            ),
+            am AS (SELECT sum(ai::DOUBLE * (ai - 1) / 2)::BIGINT AS sa
+                   FROM (SELECT sum(nij) AS ai FROM cont GROUP BY ca)),
+            bm AS (SELECT sum(bj::DOUBLE * (bj - 1) / 2)::BIGINT AS sb
+                   FROM (SELECT sum(nij) AS bj FROM cont GROUP BY cb)),
+            x AS (
+              SELECT n, ss, sa - ss AS sd, sb - ss AS ds,
+                     (n::DOUBLE * (n - 1) / 2)::BIGINT - sa - sb + ss AS dd,
+                     (n::DOUBLE * (n - 1) / 2)::BIGINT AS total
+              FROM s, am, bm
+            )
+            SELECT n, (ss + dd)::BIGINT AS agree_pairs, total AS total_pairs,
+                   round((ss + dd)::DOUBLE / total, 4) AS rand_index,
+                   round(CASE WHEN (ss::DOUBLE + sd) * (sd::DOUBLE + dd)
+                                   + (ss::DOUBLE + ds) * (ds::DOUBLE + dd) = 0
+                              THEN 1.0
+                              ELSE 2.0 * (ss::DOUBLE * dd - sd::DOUBLE * ds) /
+                                   ((ss::DOUBLE + sd) * (sd::DOUBLE + dd)
+                                    + (ss::DOUBLE + ds) * (ds::DOUBLE + dd))
+                         END, 4) AS adjusted_rand
+            FROM x
+        """,
+        "name_suffix_pairs": """
+            WITH k AS (SELECT c_custkey, right(c_name, 3) AS suffix FROM customer)
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2, a.suffix
+            FROM k a JOIN k b ON a.suffix = b.suffix AND a.c_custkey < b.c_custkey
+        """,
+        "anagram_key_pairs": """
+            WITH k AS (
+              SELECT p_partkey,
+                     array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS anagram_key
+              FROM part
+            )
+            SELECT a.p_partkey AS id1, b.p_partkey AS id2, a.anagram_key
+            FROM k a JOIN k b ON a.anagram_key = b.anagram_key
+                              AND a.p_partkey < b.p_partkey
+        """,
+        "stoplist_block_stats": """
+            SELECT source, lang, count(*) AS n_ids,
+                   (count(*)::DOUBLE * (count(*) - 1) / 2)::BIGINT AS n_pairs
+            FROM documents
+            WHERE source NOT IN ('src18', 'src7', 'src6')
+            GROUP BY source, lang
+        """,
+        "sorted_neighborhood_global_pairs": """
+            WITH r AS (
+              SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+              FROM customer
+            )
+            SELECT least(a.c_custkey, b.c_custkey) AS id1,
+                   greatest(a.c_custkey, b.c_custkey) AS id2
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
         """,
     }

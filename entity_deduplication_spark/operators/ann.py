@@ -91,6 +91,61 @@ def _band_array(bands: int, r: int):
     )
 
 
+def tune_rhp_bands(
+    threshold: float, target_miss: float = 1e-9, bucket_selectivity: float = 0.35
+) -> tuple[int, int]:
+    """(rows_per_band r, n_bands B) for recall >= 1 - target_miss at
+    cos >= threshold.
+
+    Charikar'02: P(sign bits agree) = 1 - acos(cos)/pi =: p. A pair at
+    exactly ``threshold`` collides on one r-bit band w.p. p^r; missing all
+    B bands has probability (1 - p^r)^B <= target_miss. r is chosen so a
+    band retains ~``bucket_selectivity`` of at-threshold pairs — larger r
+    means exponentially more, smaller buckets (the skew lever); B then
+    follows from the miss budget. Both are deterministic functions of the
+    threshold, so the same config always yields the same plan.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    r = max(1, int(math.log(bucket_selectivity) / math.log(p)))
+    pr = p**r
+    b = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pr)))
+    return r, b
+
+
+def rhp_band_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int = 8,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec, band_keys array<bigint>) — one r-bit key per band.
+
+    Unlike ``rhp_signatures`` (single 64-bit packed signature) this scales
+    to r*B > 64 planes: the kernel is one numpy matmul per Arrow batch and
+    packs each band's sign bits into its own bigint, salted with the band
+    index so keys never collide across bands.
+    """
+    r, b = rows_per_band, n_bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], r * b))
+        bits = (mat @ planes) > 0  # batch x (r*b)
+        w = 1 << np.arange(r, dtype=np.int64)
+        keys = bits.reshape(len(mat), b, r).astype(np.int64) @ w  # batch x b
+        return pd.Series(list(keys))
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), _keys(F.col(vec_col)).alias("band_keys")
+    )
+
+
 def rhp_bucket_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

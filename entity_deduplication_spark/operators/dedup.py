@@ -57,13 +57,23 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    block_size_limit: int = 10_000,
+    max_gram_doc_freq: int = 10_000,
 ) -> DataFrame:
     """(id1, id2, jaccard) for word-n-gram Jaccard >= threshold.
 
     Pure relational set-similarity join (explode -> equi-join -> count),
     no sketching — the exact counterpart the MinHash path approximates,
     and the DuckDB-oracle-friendly formulation of reference B8/B9.
+
+    Skew guard: a gram shared by f documents contributes f^2 join rows, so
+    one ubiquitous gram is a quadratic hot key at scale. Grams whose
+    document frequency exceeds ``max_gram_doc_freq`` are dropped from the
+    JOIN side only (document sizes still count every gram), bounding every
+    join key at f <= limit. Exact whenever no gram exceeds the limit (the
+    oracle case); beyond it, dropping near-universal grams only removes
+    intersection mass that such low-information grams contribute — for a
+    tighter exact guarantee at scale use minhash_lsh_dedup. MinHash-LSH is
+    the intended 100-TB path; this operator is the exact oracle-able form.
     """
     words = F.split(F.col(text_col), " ")
     grams = (
@@ -82,9 +92,15 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    gram_df = Window.partitionBy("gram")
+    join_grams = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(gram_df))
+        .filter(F.col("_df") <= max_gram_doc_freq)
+        .drop("_df")
+    )
     inter = (
-        grams.alias("a")
-        .join(grams.alias("b"), "gram")
+        join_grams.alias("a")
+        .join(join_grams.alias("b"), "gram")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -178,19 +194,122 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    method: str = "lsh",
+    seed: int = 42,
+    target_miss: float = 1e-9,
+    block_size_limit: int = 100_000,
+    grid_chunks: int = 8,
 ) -> DataFrame:
     """(id1, id2, cos_sim) embedding near-duplicate pairs above threshold.
 
-    Brute-force formulation (exact); for scale, route through
-    operators.ann.rhp_bucket_pairs which blocks on random-hyperplane LSH
-    buckets before the exact cosine verify.
+    ``method="lsh"`` (default, the 100-TB path): random-hyperplane band
+    keys auto-tuned from the threshold (operators.ann.tune_rhp_bands) so a
+    true pair misses every bucket w.p. <= ``target_miss`` — candidates
+    come from salted bucket equi-joins, then an exact JVM-side cosine
+    verify. No cross join anywhere in the plan.
+
+    ``method="exact"``: provably-complete blocked grid join — both sides
+    are hashed into ``grid_chunks`` chunks, every chunk-pair cell is an
+    independent task whose local all-pairs runs as one numpy/BLAS matmul
+    inside applyInPandas. Still O(n^2) work (it must be — it's exact), but
+    bounded memory per task, fully parallel, and ~100x faster per pair
+    than a row-at-a-time cross join. Use for oracle/recall checks and
+    moderate n.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    if method == "exact":
+        return _embedding_pairs_grid(
+            df, id_col, vec_col, threshold, grid_chunks
+        )
+    from entity_deduplication_spark.operators.ann import (
+        rhp_band_keys,
+        tune_rhp_bands,
+    )
+
+    r, b = tune_rhp_bands(threshold, target_miss)
+    keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).persist()
+    banded = keyed.select(
+        F.col(id_col).alias("clip_id"),
+        F.posexplode("band_keys").alias("band_idx", "band_key"),
+    )
+    cand = block_self_join_pairs(
+        banded,
+        key_cols=["band_idx", "band_key"],
+        block_size_limit=block_size_limit,
+    )
+    feat = cand.join(
+        keyed.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")), "id1"
+    ).join(
+        keyed.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")), "id2"
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        feat.withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def _embedding_pairs_grid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    chunks: int,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a chunk-grid of local
+    matmuls. Row with chunk i is replicated to every cell (min(i,j),
+    max(i,j)) with a side marker; each cell computes its block of the
+    similarity matrix vectorized. Diagonal cells (i==i) self-pair with an
+    id1 < id2 filter; off-diagonal cells pair across sides only.
+    """
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    k = chunks
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    chunked = src.withColumn("_c", F.pmod(F.xxhash64("_id"), F.lit(k)))
+    cells = chunked.select(
+        "_id",
+        "_vec",
+        F.col("_c"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_o"),
+    ).select(
+        "_id",
+        "_vec",
+        F.least("_c", "_o").alias("_ci"),
+        F.greatest("_c", "_o").alias("_cj"),
+        (F.col("_c") <= F.col("_o")).alias("_left"),
+    ).dropDuplicates(["_id", "_ci", "_cj"])
+
+    thr = float(threshold)
+
+    def _cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        diag = pdf["_ci"].iloc[0] == pdf["_cj"].iloc[0]
+        left = pdf[pdf["_left"]] if not diag else pdf
+        right = pdf[~pdf["_left"]] if not diag else pdf
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []})
+        a = np.stack(left["_vec"].to_numpy())
+        bm = np.stack(right["_vec"].to_numpy())
+        an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        sims = an @ bn.T
+        ii, jj = np.where(sims >= thr)
+        la, rb = left["_id"].to_numpy(), right["_id"].to_numpy()
+        x, y, s = la[ii], rb[jj], sims[ii, jj]
+        if diag:
+            # both orders of every unordered pair appear — keep one
+            keep = x < y
+            x, y, s = x[keep], y[keep], s[keep]
+        else:
+            # each unordered pair appears exactly once — canonicalize, do
+            # NOT filter (the left-chunk id may be the larger one)
+            x, y = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id1": x, "id2": y, "cos_sim": s})
+
+    id_type = dict(df.dtypes)[id_col]
+    out = cells.groupBy("_ci", "_cj").applyInPandas(
+        _cell, schema=f"id1 {id_type}, id2 {id_type}, cos_sim double"
+    )
+    return out.select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))

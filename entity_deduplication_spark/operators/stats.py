@@ -42,6 +42,92 @@ def dedup_metrics(clusters: DataFrame, cluster_col: str = "cluster_id") -> DataF
     )
 
 
+def pair_confusion(
+    assign_a: DataFrame,
+    assign_b: DataFrame,
+    id_col: str = "clip_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pair-counting confusion between two clusterings of the same ids —
+    one row: (n, ss, sd, ds, dd) over all C(n,2) id pairs where s/d =
+    same/different cluster in (a, b).
+
+    Distributed form of the reference's sampled Rand agreement
+    (utils.py:273-331, comparison.py:193-231): instead of sampling pairs,
+    count them exactly from the contingency table — groupBy(ca, cb) is one
+    shuffle on cluster-id pairs, every count below is an aggregate of it.
+    ss = sum C(n_ij,2); sd = sum C(a_i,2) - ss; ds = sum C(b_j,2) - ss;
+    dd = C(n,2) - ss - sd - ds.
+    """
+    j = assign_a.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_ca")
+    ).join(
+        assign_b.select(
+            F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cb")
+        ),
+        "_id",
+    )
+    cont = j.groupBy("_ca", "_cb").agg(F.count(F.lit(1)).alias("nij"))
+
+    def c2(col):
+        # double product before the sum: avoids ANSI bigint overflow on
+        # huge clusters (n_i*(n_i-1) passes int64 at ~3e9 members); exact
+        # for counts below 2^53
+        return F.sum(col.cast("double") * (col - 1) / 2).cast("long")
+
+    ss = cont.agg(c2(F.col("nij")).alias("ss"))
+    a_marg = cont.groupBy("_ca").agg(F.sum("nij").alias("ai")).agg(
+        c2(F.col("ai")).alias("sa"), F.sum("ai").alias("n")
+    )
+    b_marg = cont.groupBy("_cb").agg(F.sum("nij").alias("bj")).agg(
+        c2(F.col("bj")).alias("sb")
+    )
+    return (
+        ss.crossJoin(a_marg)  # three 1-row frames — driver-free scalar algebra
+        .crossJoin(b_marg)
+        .select(
+            F.col("n"),
+            F.col("ss"),
+            (F.col("sa") - F.col("ss")).alias("sd"),
+            (F.col("sb") - F.col("ss")).alias("ds"),
+            (
+                (F.col("n").cast("double") * (F.col("n") - 1) / 2).cast("long")
+                - F.col("sa")
+                - F.col("sb")
+                + F.col("ss")
+            ).alias("dd"),
+        )
+    )
+
+
+def rand_index(
+    assign_a: DataFrame,
+    assign_b: DataFrame,
+    id_col: str = "clip_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One row (n, agree_pairs, total_pairs, rand_index, adjusted_rand) —
+    exact (not sampled) pair-counting agreement between two clusterings;
+    reference A7/A8 (utils.py:273-331) as a distributed operator."""
+    pc = pair_confusion(assign_a, assign_b, id_col, cluster_col)
+    total = (F.col("n").cast("double") * (F.col("n") - 1) / 2).cast("long")
+    agree = F.col("ss") + F.col("dd")
+    # ARI = 2(ss*dd - sd*ds) / ((ss+sd)(sd+dd) + (ss+ds)(ds+dd)); 1.0 when
+    # both clusterings are identical partitions (degenerate denominator)
+    ss, sd, ds, dd = (F.col(c).cast("double") for c in ("ss", "sd", "ds", "dd"))
+    num = 2.0 * (ss * dd - sd * ds)
+    den = (ss + sd) * (sd + dd) + (ss + ds) * (ds + dd)
+    return pc.select(
+        F.col("n"),
+        agree.alias("agree_pairs"),
+        total.alias("total_pairs"),
+        F.round(agree / total, 4).alias("rand_index"),
+        F.round(
+            F.when(den == 0, F.lit(1.0)).otherwise(num / den), 4
+        ).alias("adjusted_rand"),
+    )
+
+
 def partition_lineage(df: DataFrame, stage: str) -> DataFrame:
     """Per-partition row counts for the lineage table (north_rule)."""
     return (

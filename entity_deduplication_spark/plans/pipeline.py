@@ -217,12 +217,15 @@ class DedupPipeline:
             "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
         )
         verified = verified_edges(cand.select("id1", "id2"), sig, cfg)
+        # eager=False: edges feed exactly one action (the CC initial edge-set
+        # signature), which fills the persist cache in the same job
         edges = self.ckpt.get_or_compute(
             "edges",
             lambda: verified.unionByName(exact_edges(sig, cfg))
             .groupBy("id1", "id2")
             .agg(F.max("score").alias("score")),
             resume=resume,
+            eager=False,
         )
         def _cluster() -> DataFrame:
             cl = connected_components(
@@ -238,7 +241,9 @@ class DedupPipeline:
                 cl = split_oversized_clusters(cl, edges, cfg.max_cluster_size)
             return cl
 
-        clusters = self.ckpt.get_or_compute("clusters", _cluster, resume=resume)
+        clusters = self.ckpt.get_or_compute(
+            "clusters", _cluster, resume=resume, eager=False
+        )
         clustered = clusters.join(
             sig.select("clip_id", "transcript_norm", "n_words"), "clip_id"
         )

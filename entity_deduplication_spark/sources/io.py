@@ -70,20 +70,26 @@ class CheckpointManager:
         resume: bool = True,
         partition_by: list[str] | None = None,
         lineage: bool = True,
+        eager: bool = True,
     ) -> DataFrame:
         """Read stage table if checkpointed, else compute + persist it.
 
         Without a checkpoint dir the stage is still persisted in memory/disk
-        and eagerly materialized — stage outputs are reused by several
-        downstream plans (e.g. signatures feed 3 LSH strategies, verify,
-        and the substring stage), so recomputation would multiply the
-        UDF cost (SURVEY.md §4 common-subexpression row).
+        — stage outputs are reused by several downstream plans (e.g.
+        signatures feed 3 LSH strategies, verify, and the substring stage),
+        so recomputation would multiply the UDF cost (SURVEY.md §4
+        common-subexpression row). ``eager=False`` skips the materializing
+        ``count()`` job: correct for stages whose first downstream action is
+        a single full scan (the scan fills the cache); keep ``eager=True``
+        for stages consumed by several *concurrent* subtrees of one job,
+        where lazy caching could duplicate the compute.
         """
         if not self.base_dir:
             from pyspark import StorageLevel
 
             df = compute().persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()
+            if eager:
+                df.count()
             return df
         if resume and self.exists(name):
             return self.read(name)
