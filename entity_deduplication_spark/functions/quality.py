@@ -98,18 +98,24 @@ def lang_id_udf(extra_profiles: dict[str, list[str]] | None = None):
     profiles = {**_LANG_PROFILES, **(extra_profiles or {})}
     langs = sorted(profiles)
 
+    # flat (gram -> lang index) table so the batch scores with vectorized
+    # pd.Series.str.count per gram (one pass over the whole Arrow batch
+    # per profile gram, no per-row Python loop)
+    import re
+
+    flat = [
+        (re.escape(g), i) for i, lang in enumerate(langs) for g in profiles[lang]
+    ]
+
     @F.pandas_udf(T.StringType())
     def _lang(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append("und")
-                continue
-            tl = t.lower()
-            scores = np.array(
-                [sum(tl.count(g) for g in profiles[lang]) for lang in langs]
-            )
-            out.append(langs[int(scores.argmax())] if scores.max() > 0 else "und")
-        return pd.Series(out)
+        tl = texts.fillna("").str.lower()
+        scores = np.zeros((len(tl), len(langs)), dtype=np.int64)
+        for gram, li in flat:
+            scores[:, li] += tl.str.count(gram, flags=0).to_numpy(dtype=np.int64)
+        best = scores.argmax(axis=1)
+        hit = scores.max(axis=1) > 0
+        out = pd.Series(np.where(hit, np.array(langs, dtype=object)[best], "und"))
+        return out
 
     return _lang

@@ -41,6 +41,13 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     NULL keys are singletons: Spark windows group all NULL partition keys
     together, which would merge every null-keyed row into one cluster —
     wrong dedup semantics ("unknown == unknown" is not evidence).
+
+    Scale note: the exchange ships the full key column (it is the window
+    partition expression). For wide keys (whole documents) pre-digest so
+    the shuffle carries 32 bytes, not the text:
+    ``exact_dedup(df.withColumn("_k", F.md5(key)), id, F.col("_k"))`` —
+    the flagship pipeline does exactly this (bytes_md5 / transcript_norm
+    chain edges in plans.pipeline.exact_edges).
     """
     w = Window.partitionBy(key)
     return df.select(
