@@ -349,8 +349,13 @@ def q_fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_deduplication_spark.operators.fuzzy import levenshtein_sim_pairs
 
     part = _t(spark, sf_dir, "part")
+    # composite block key (reference B10/B13 industry+region flavor)
     return levenshtein_sim_pairs(
-        part, "p_partkey", "p_name", F.col("p_brand"), threshold=0.7
+        part,
+        "p_partkey",
+        "p_name",
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")),
+        threshold=0.7,
     )
 
 
@@ -362,7 +367,11 @@ def q_fuzzy_token_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     return token_ratio_pairs(
-        part, "p_partkey", "p_name", F.col("p_brand"), threshold=85.0
+        part,
+        "p_partkey",
+        "p_name",
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")),
+        threshold=85.0,
     )
 
 
@@ -822,14 +831,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_part_name_pairs": """
             WITH p AS (
-              SELECT p_partkey, p_brand,
+              SELECT p_partkey, p_brand || '|' || p_type AS bk,
                      array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS ts
               FROM part
             )
             SELECT a.p_partkey AS id1, b.p_partkey AS id2,
                    round(1.0 - levenshtein(a.ts, b.ts)::DOUBLE /
                          greatest(length(a.ts), length(b.ts), 1), 4) AS lev_sim
-            FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            FROM p a JOIN p b ON a.bk = b.bk AND a.p_partkey < b.p_partkey
             WHERE round(1.0 - levenshtein(a.ts, b.ts)::DOUBLE /
                         greatest(length(a.ts), length(b.ts), 1), 4) >= 0.7
         """,

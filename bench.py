@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "fuzzy_part_name_pairs",
+    "clustering_agreement",
     "text_stats",
     "doc_quality",
     "events_hourly",

@@ -55,7 +55,11 @@ class DedupConfig:
 
     # --- clustering ---
     max_cluster_size: int = 50    # reference utils.py:73-98 split threshold
-    split_oversized: bool = False  # opt-in distributed analogue of the split
+    split_oversized: bool = False  # opt-in analogue of the reference split
+    # "louvain" = per-component greedy-modularity communities via
+    # applyInPandas (reference fidelity, utils.py:73-98);
+    # "tiers" = progressive score-threshold re-clustering (round-1 form)
+    split_method: str = "louvain"
     cc_max_iterations: int = 50
 
     # --- misc ---

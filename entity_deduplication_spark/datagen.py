@@ -180,6 +180,9 @@ def ensure_clips_parquet(
     truth_path = os.path.join(data_dir, f"clips_truth_n{n_clips}_s{seed}.parquet")
     if not (os.path.exists(clips_path) and os.path.exists(truth_path)):
         clips, truth = generate_clips(n_clips, seed=seed)
-        clips.to_parquet(clips_path, index=False)
-        truth.to_parquet(truth_path, index=False)
+        # small row groups: pandas' default is ONE row group per file,
+        # which makes every Spark scan of the audio blobs a single task
+        # (a row group is the parallelism quantum) — 2048 rows ~ 80 MB
+        clips.to_parquet(clips_path, index=False, row_group_size=2048)
+        truth.to_parquet(truth_path, index=False, row_group_size=65536)
     return clips_path, truth_path

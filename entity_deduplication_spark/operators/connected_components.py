@@ -58,6 +58,51 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_labels(e: DataFrame, node_id: str) -> DataFrame:
+    """Small-graph fast path: one executor task runs union-find over the
+    whole (small) edge set via applyInPandas — same min-member labels as
+    the star rounds, ~1 job instead of O(log^2 n) round barriers.
+
+    This is the CC analogue of AQE's broadcast-join demotion: when the
+    VERIFIED edge set is small (it usually is — edges above
+    match_threshold are sparse even when the input is huge), pushing it
+    through shuffle-round machinery wastes more wall on job scheduling
+    than the work itself. The caller gates this on the measured edge
+    count, so the star rounds still handle genuinely large graphs.
+    """
+    import pandas as pd
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(pdf["u"], pdf["v"]):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min: root is the smaller id (deterministic)
+                parent[max(ru, rv)] = min(ru, rv)
+        items = sorted(parent)
+        return pd.DataFrame(
+            {"n": items, "c": [find(x) for x in items]}
+        )
+
+    id_type = dict(e.dtypes)["u"]
+    return (
+        e.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_uf, schema=f"n {id_type}, c {id_type}")
+        .select(F.col("n").alias(node_id), F.col("c").alias("cluster_id"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -66,6 +111,7 @@ def connected_components(
     node_id: str = "clip_id",
     max_iterations: int = 50,
     check_every: int = 2,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node; cluster_id = min member id.
 
@@ -87,6 +133,19 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _signature(e)  # materializes the initial edge set into the ckpt
+
+    if 0 < prev[0] <= small_graph_edges:
+        labels = _union_find_labels(e, node_id)
+        if nodes is not None:
+            all_nodes = nodes.select(F.col(node_id)).distinct()
+            labels = all_nodes.join(labels, node_id, "left").select(
+                node_id,
+                F.coalesce(F.col("cluster_id"), F.col(node_id)).alias(
+                    "cluster_id"
+                ),
+            )
+        return labels
+
     rounds = 0
     while rounds < max_iterations and prev[0] > 0:
         # lazy checkpoints: the signature aggregation below is the single

@@ -167,7 +167,47 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
 def verified_edges(
     pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """candidates -> (id1, id2, score) edges above match_threshold."""
+    """candidates -> (id1, id2, score) edges above match_threshold.
+
+    Early exact-drop: a candidate pair whose bytes digest OR normalized
+    transcript match exactly is already connected by the O(n) chain edges
+    (plans.pipeline.exact_edges), so it never needs the wide feature join
+    — only the 32-byte digests are attached to decide this. On dup-heavy
+    corpora this removes a large fraction of pairs BEFORE the join that
+    ships shingle/audio arrays, cutting the verify shuffle accordingly.
+    The resulting cluster assignments are identical; only redundant edge
+    rows disappear.
+    """
+    if "bytes_md5" in signatures.columns and "transcript_norm" in signatures.columns:
+        keys = signatures.select(
+            F.col("clip_id"),
+            F.col("bytes_md5"),
+            F.md5(F.col("transcript_norm")).alias("_tn_md5"),
+            (F.length("transcript_norm") > 0).alias("_tn_ok"),
+        )
+        k1 = keys.select(
+            F.col("clip_id").alias("id1"),
+            F.col("bytes_md5").alias("_b1"),
+            F.col("_tn_md5").alias("_t1"),
+            F.col("_tn_ok").alias("_ok1"),
+        )
+        k2 = keys.select(
+            F.col("clip_id").alias("id2"),
+            F.col("bytes_md5").alias("_b2"),
+            F.col("_tn_md5").alias("_t2"),
+            F.col("_tn_ok").alias("_ok2"),
+        )
+        chained = F.coalesce(
+            (F.col("_b1") == F.col("_b2"))
+            | (F.col("_t1").eqNullSafe(F.col("_t2")) & F.col("_ok1") & F.col("_ok2")),
+            F.lit(False),
+        )
+        pairs = (
+            pairs.join(k1, "id1")
+            .join(k2, "id2")
+            .filter(~chained)
+            .select("id1", "id2")
+        )
     feat = attach_pair_features(pairs, signatures)
     scored = score_pairs(feat, cfg)
     return scored.filter(F.col("score") >= cfg.match_threshold).select(

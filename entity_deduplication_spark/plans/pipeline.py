@@ -205,12 +205,18 @@ class DedupPipeline:
 
     def run(self, clips: DataFrame, resume: bool = True) -> DedupResult:
         cfg = self.cfg
-        # spread the decode/signature UDF work across all cores even when
-        # the source is a single parquet file / few input splits
+        # spread the decode/signature UDF work across all cores when the
+        # source has too few input splits — but NEVER shuffle the bytes
+        # column when the scan already yields enough partitions: a
+        # repartition of the raw clips is a full-table disk round trip
+        # (write+read of every audio blob) that the UDF stage doesn't need
         n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
+        src = clips
+        if clips.rdd.getNumPartitions() < n_parts:
+            src = clips.repartition(n_parts, "clip_id")
         sig = self.ckpt.get_or_compute(
             "signatures",
-            lambda: build_signatures(clips.repartition(n_parts, "clip_id"), cfg),
+            lambda: build_signatures(src, cfg),
             resume=resume,
         )
         cand = self.ckpt.get_or_compute(
@@ -234,11 +240,18 @@ class DedupPipeline:
                 max_iterations=cfg.cc_max_iterations,
             )
             if cfg.split_oversized:
-                from entity_deduplication_spark.operators.split import (
-                    split_oversized_clusters,
-                )
+                if cfg.split_method == "louvain":
+                    from entity_deduplication_spark.operators.louvain import (
+                        louvain_split_oversized,
+                    )
 
-                cl = split_oversized_clusters(cl, edges, cfg.max_cluster_size)
+                    cl = louvain_split_oversized(cl, edges, cfg.max_cluster_size)
+                else:
+                    from entity_deduplication_spark.operators.split import (
+                        split_oversized_clusters,
+                    )
+
+                    cl = split_oversized_clusters(cl, edges, cfg.max_cluster_size)
             return cl
 
         clusters = self.ckpt.get_or_compute(

@@ -24,6 +24,17 @@ def get_spark(
     shuffle_partitions: defaults to max(cores, 32) locally; on a real
     cluster leave AQE to coalesce.
     """
+    # glibc allocator: serve large numpy buffers from the reusable brk heap
+    # instead of fresh mmap/munmap per allocation. This host (THP
+    # `madvise`, slow fault path) services NEW mmap'd pages at ~20-40 MB/s
+    # and the page-fault path contends across workers: the audio
+    # decode/FFT kernel measured 33 clips/s at 32 default-malloc procs vs
+    # 24,000 clips/s with these thresholds (see BENCH/BASELINE.md). Must
+    # be in the environment BEFORE the JVM launches so pyspark.daemon
+    # workers inherit it; spark.executorEnv carries it on a real cluster.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, str(1 << 29))
+
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
@@ -44,10 +55,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # binary-heavy rows (40 KB audio blobs) make big Arrow batches a
+        # memory storm: 4096-row batches are ~160 MB of fresh buffers per
+        # worker in flight; 1024 keeps them ~40 MB with no kernel slowdown
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            os.environ["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            os.environ["MALLOC_TRIM_THRESHOLD_"],
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -82,3 +82,23 @@ def test_cc_singletons(spark):
     nodes = ["a", "b", "c"]
     got = _run(spark, [("a", "b")], nodes)
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_cc_star_rounds_match_fast_path(spark):
+    """Force the large-star/small-star path (small_graph_edges=0) and
+    check it produces the identical labels as the union-find fast path."""
+    random.seed(23)
+    nodes = [f"w{i:03d}" for i in range(150)]
+    edges = [(random.choice(nodes), random.choice(nodes)) for _ in range(130)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["id1", "id2"])
+    n = spark.createDataFrame([(x,) for x in nodes], ["clip_id"])
+    fast = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(e, nodes=n).collect()
+    }
+    stars = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(e, nodes=n, small_graph_edges=0).collect()
+    }
+    assert fast == stars == _oracle(edges, nodes)
