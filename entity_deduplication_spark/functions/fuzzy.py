@@ -151,7 +151,10 @@ def _pair_udf(kernel, ret_type):
         b = ["" if v is None else str(v) for v in s2]
         return pd.Series(kernel(a, b))
 
-    return _udf
+    # the kernels ARE deterministic; the marker stops CollapseProject
+    # from inlining the UDF into downstream filters, which would run the
+    # whole DP twice per pair (once for the predicate, once for output)
+    return _udf.asNondeterministic()
 
 
 def levenshtein_udf():
