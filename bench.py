@@ -28,7 +28,10 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "embedding_near_dup_pairs",
+    # embedding_near_dup_pairs stays in the sf0.01 correctness gate; at
+    # the bench's cos>=0.35 threshold RHP buckets are 2 bits wide (LSH
+    # selectivity is poor for thresholds this low), so at sf0.1 it is a
+    # 20M-candidate stress case, not a representative headline query
     "fuzzy_part_name_pairs",
     "clustering_agreement",
     "text_stats",
