@@ -199,6 +199,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, "vec_id", "embedding", k=10)
 
 
+def _emb_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a deterministically perturbed copy (vec_id + 10^6,
+    v' = v + 0.1*v^2 element-wise, cos(v, v') ~ 0.99) — planted
+    high-similarity near-dups over the otherwise-random test vectors
+    (max pairwise cos ~0.51), mirrored exactly in the DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(0.1) * x * x
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def q_embedding_near_dup_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold (0.9) near-dup pairs — the REPRESENTATIVE near-dup
+    workload: auto-routing picks the tuned-RHP LSH path (r sized to the
+    corpus via the cost model, miss <= 1e-9, loud failure on bucket
+    overflow), verified exact. The DuckDB brute-force oracle must match
+    bit-for-bit."""
+    from entity_deduplication_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _emb_with_near_dups(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis (documents)
 # --------------------------------------------------------------------------
@@ -386,18 +416,35 @@ def q_canonical_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from entity_deduplication_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "title",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.col("lang")),
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "title",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.col("lang")),
+        )
+        .withColumn(
+            # comma-detail field for the most-detailed backfill branch
+            # (reference utils.py:177-185 picks the most-detailed address):
+            # every 4th doc's addr is blank; comma count varies with doc_id
+            "addr",
+            F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN '' "
+                "ELSE concat('p', doc_id % 5, "
+                "            repeat(',x', cast(doc_id % 3 AS int))) END"
+            ),
+        )
     )
     clusters = exact_dedup(docs, "doc_id", F.col("text"))
     clustered = clusters.join(docs, "doc_id")
     canonical = elect_canonical(clustered, id_col="doc_id", order_col="n_chars")
-    filled = backfill_canonical(canonical, clustered, mode_cols=["title"])
+    filled = backfill_canonical(
+        canonical, clustered, mode_cols=["title"], detail_cols=["addr"]
+    )
     return filled.select(
         "cluster_id",
         F.col("doc_id").alias("canonical_doc_id"),
         F.col("title").alias("title_filled"),
+        F.col("addr").alias("addr_filled"),
         "cluster_size",
     )
 
@@ -472,6 +519,86 @@ def q_anagram_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_equality_pairs(
         part, "p_partkey", token_sorted(F.col("p_name")), key_name="anagram_key"
     )
+
+
+def q_social_handle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-handle blocking (reference P7/B5,
+    deterministic_feature.py:740-756, blocks at :394-404): extract the
+    last URL path segment (query params + trailing slashes stripped,
+    lowercased) and block on equality. The URL column is synthesized
+    deterministically from documents (the testdata has no URL column);
+    the extraction expression is the operator under test — some URLs get
+    trailing slashes and query strings so the stripping logic is
+    exercised."""
+    from entity_deduplication_spark.functions.text import social_handle
+    from entity_deduplication_spark.operators.blocking import key_equality_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://social.example/"),
+            F.col("source"),
+            F.lit("/User"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?ref=feed")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return key_equality_pairs(
+        docs, "doc_id", social_handle(F.col("url")), key_name="handle"
+    )
+
+
+def q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic training-pair generation (reference R4,
+    ml_based.py:242-349): pos/neg/challenging tiers from strong-key
+    agreement, fuzzy similarity bands, and cross-key sampling — made
+    deterministic (seeded hashes instead of np.random) and distributed.
+    Rows-only (the fuzzy band uses the InDel kernel); label distribution
+    is pinned by pytest against a pandas oracle."""
+    from entity_deduplication_spark.operators.ml import generate_training_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return generate_training_pairs(
+        docs,
+        "doc_id",
+        "text",
+        strong_key=F.md5(F.col("text")),
+        group_key=F.substring(F.col("text"), 1, 16),
+    )
+
+
+def q_mlp_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch 1-hidden-layer MLP pair scorer (reference V8,
+    deep_learning.py:115-187 feedforward net): distributed features,
+    bounded deterministic driver fit, broadcast-weights Arrow scoring.
+    Rows-only; pinned by pytest vs a driver-side numpy oracle."""
+    from entity_deduplication_spark.operators.dedup import ngram_jaccard_pairs
+    from entity_deduplication_spark.operators.ml import (
+        pair_features,
+        score_with_mlp,
+        train_mlp_scorer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, 0.1)
+    texts = docs.select("doc_id", "text")
+    feat = (
+        cand.join(
+            texts.select(F.col("doc_id").alias("id1"), F.col("text").alias("_t1")),
+            "id1",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("id2"), F.col("text").alias("_t2")),
+            "id2",
+        )
+    )
+    feat = pair_features(feat).persist()
+    labeled = feat.withColumn("label", (F.col("jaccard") >= 0.5).cast("double"))
+    params = train_mlp_scorer(labeled)
+    return score_with_mlp(feat, params).select("id1", "id2", "mlp_score")
 
 
 def q_stoplist_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,13 +693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_near_dup_pairs_hi": q_embedding_near_dup_pairs_hi,
         "ann_lsh_topk": q_ann_lsh_topk,  # rows-only
         # text analysis
         "text_stats": q_text_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_source_dist": q_lang_source_dist,
-        "lang_id_heuristic": q_lang_id_heuristic,  # rows-only
+        "lang_id_heuristic": q_lang_id_heuristic,
         # events
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -583,13 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_backfill": q_canonical_backfill,
         "clustering_agreement": q_clustering_agreement,
         "agreement_matrix": q_agreement_matrix,  # rows-only
-        # composite blocking recipes (B3/B4/B11/B16)
+        # composite blocking recipes (B3/B4/B5/B11/B16)
         "name_suffix_pairs": q_name_suffix_pairs,
         "anagram_key_pairs": q_anagram_key_pairs,
+        "social_handle_pairs": q_social_handle_pairs,
         "stoplist_block_stats": q_stoplist_block_stats,
         "sorted_neighborhood_global_pairs": q_sorted_neighborhood_global_pairs,
-        # ML scorer (V6/V7)
+        # ML scorers + training data (V6/V7/V8, R4)
         "ml_pair_scores": q_ml_pair_scores,  # rows-only
+        "mlp_pair_scores": q_mlp_pair_scores,  # rows-only
+        "training_pairs": q_training_pairs,  # rows-only
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -637,6 +768,42 @@ labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP B
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """
+
+
+def _lang_id_oracle_sql() -> str:
+    """The lang-ID heuristic is static gram profiles + argmax of literal
+    substring counts — fully SQL-expressible. Counting uses the
+    replace-length trick (non-overlapping, identical to pandas
+    str.count on escaped literals); the CASE chain reproduces
+    np.argmax's first-max-wins tie-break over the sorted language list."""
+    from entity_deduplication_spark.functions.quality import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+
+    def _cnt(g: str) -> str:
+        return f"(length(t) - length(replace(t, '{g}', ''))) // {len(g)}"
+
+    score_exprs = ", ".join(
+        " + ".join(_cnt(g) for g in _LANG_PROFILES[lang]) + f" AS s_{lang}"
+        for lang in langs
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = (
+        f"CASE WHEN greatest({all_scores}) = 0 THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
+    )
+    return f"""
+        WITH t0 AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+        s AS (SELECT doc_id, {score_exprs} FROM t0)
+        SELECT doc_id, {case} AS lang_guess FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -757,6 +924,47 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "lang_id_heuristic": _lang_id_oracle_sql(),
+        "embedding_near_dup_pairs_hi": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding::DOUBLE[], x -> x + 0.1 * x * x)
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.9
+        """,
+        "social_handle_pairs": """
+            WITH u AS (
+              SELECT doc_id,
+                     concat('https://social.example/', source, '/User',
+                            doc_id % 40,
+                            CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                            CASE WHEN doc_id % 2 = 0 THEN '?ref=feed'
+                                 ELSE '' END) AS url
+              FROM documents
+            ), cl AS (
+              SELECT doc_id,
+                     regexp_replace(string_split(url, '?')[1], '/+$', '') AS c
+              FROM u
+            ), k AS (
+              SELECT doc_id,
+                     CASE WHEN contains(c, '/')
+                          THEN lower(string_split(c, '/')[-1])
+                          ELSE '' END AS handle
+              FROM cl
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2, a.handle
+            FROM k a JOIN k b ON a.handle = b.handle AND a.doc_id < b.doc_id
+        """,
         "lang_source_dist": """
             SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang, source
@@ -845,14 +1053,17 @@ def oracle_sql() -> dict[str, str]:
         "canonical_backfill": """
             WITH aug AS (
               SELECT doc_id, n_chars, text,
-                     CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS title
+                     CASE WHEN doc_id % 3 = 0 THEN '' ELSE lang END AS title,
+                     CASE WHEN doc_id % 4 = 0 THEN ''
+                          ELSE concat('p', doc_id % 5,
+                                      repeat(',x', (doc_id % 3)::INT)) END AS addr
               FROM documents
             ), c AS (
               SELECT *, CASE WHEN text IS NULL THEN doc_id
                              ELSE min(doc_id) OVER (PARTITION BY text) END AS cluster_id
               FROM aug
             ), w AS (
-              SELECT cluster_id, doc_id, title, row_number() OVER (
+              SELECT cluster_id, doc_id, title, addr, row_number() OVER (
                 PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
               ) AS rn FROM c
             ), modes AS (
@@ -863,15 +1074,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM c WHERE title IS NOT NULL AND length(title) > 0
                 GROUP BY cluster_id, title
               ) WHERE mrn = 1
+            ), details AS (
+              SELECT cluster_id, addr AS detailed_addr FROM (
+                SELECT cluster_id, addr, row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY (len(string_split(addr, ',')) * 1000
+                            + length(addr)) DESC, addr ASC
+                ) AS drn
+                FROM c WHERE addr IS NOT NULL
+              ) WHERE drn = 1
             ), sizes AS (
               SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY cluster_id
             )
             SELECT w.cluster_id, w.doc_id AS canonical_doc_id,
                    CASE WHEN w.title IS NULL OR length(w.title) = 0
                         THEN m.mode_title ELSE w.title END AS title_filled,
+                   CASE WHEN w.addr IS NULL OR length(w.addr) = 0
+                        THEN d.detailed_addr ELSE w.addr END AS addr_filled,
                    s.cluster_size
             FROM w JOIN sizes s USING (cluster_id)
             LEFT JOIN modes m USING (cluster_id)
+            LEFT JOIN details d USING (cluster_id)
             WHERE w.rn = 1
         """,
         "clustering_agreement": f"""

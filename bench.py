@@ -28,10 +28,13 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    # embedding_near_dup_pairs stays in the sf0.01 correctness gate; at
-    # the bench's cos>=0.35 threshold RHP buckets are 2 bits wide (LSH
-    # selectivity is poor for thresholds this low), so at sf0.1 it is a
-    # 20M-candidate stress case, not a representative headline query
+    # embedding_near_dup_pairs (cos>=0.35) auto-routes to the chunk-grid
+    # exact path now — LSH selectivity is structurally poor at low
+    # thresholds, so auto picks the bounded O(n^2) BLAS grid instead of a
+    # degenerate 20M-candidate LSH plan; the hi (cos>=0.9) variant takes
+    # the tuned-RHP LSH path. Both are headline queries again.
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_hi",
     "fuzzy_part_name_pairs",
     "clustering_agreement",
     "text_stats",

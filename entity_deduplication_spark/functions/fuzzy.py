@@ -127,20 +127,34 @@ def batch_token_set_ratio(sa: list[str], sb: list[str]) -> np.ndarray:
     r01 = batch_ratio([p[0] for p in t0s], [p[1] for p in t0s])
     r02 = batch_ratio([p[0] for p in t1s], [p[1] for p in t1s])
     r12 = batch_ratio([p[0] for p in t2s], [p[1] for p in t2s])
-    # rapidfuzz: exact-intersection shortcut — nonempty intersection of
-    # one side's full token set scores 100
+    # rapidfuzz: exact-intersection shortcut — a NONEMPTY intersection
+    # where one side's token set contains the other scores 100 (an empty
+    # set is trivially a subset but shares no tokens, so it must NOT
+    # trigger the shortcut)
+    def _full(x: str, y: str) -> bool:
+        ta, tb = set((x or "").split()), set((y or "").split())
+        return bool(ta & tb) and (ta <= tb or tb <= ta)
+
     full = np.fromiter(
-        (
-            bool(set((x or "").split()) and
-                 (set((x or "").split()) <= set((y or "").split())
-                  or set((y or "").split()) <= set((x or "").split())))
-            for x, y in zip(sa, sb)
-        ),
+        (_full(x, y) for x, y in zip(sa, sb)),
         dtype=bool,
         count=len(sa),
     )
     out = np.maximum(np.maximum(r01, r02), r12)
     out[full] = 100.0
+    # empty-vs-nonempty scores 0, not 100: with one empty token set the
+    # intersection and that side's difference are both empty strings, so
+    # r01 = ratio("", "") = 100 by the two-empties convention — but the
+    # pair shares no tokens at all (rapidfuzz scores it 0)
+    one_empty = np.fromiter(
+        (
+            bool((x or "").split()) != bool((y or "").split())
+            for x, y in zip(sa, sb)
+        ),
+        dtype=bool,
+        count=len(sa),
+    )
+    out[one_empty] = 0.0
     return out
 
 

@@ -29,6 +29,22 @@ def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+def social_handle(col: Column) -> Column:
+    """Lower-cased last URL path segment, '' when the URL has no path —
+    the reference's social-profile block key (P7/B5,
+    deterministic_feature.py:740-756, blocked at :394-404): strip query
+    params, strip trailing slashes, take the last '/'-separated part.
+    Pure Catalyst; NULL input yields ''.
+    """
+    clean = F.regexp_replace(
+        F.split(F.coalesce(col, F.lit("")), r"\?").getItem(0), "/+$", ""
+    )
+    return F.when(
+        clean.contains("/"),
+        F.lower(F.element_at(F.split(clean, "/"), -1)),
+    ).otherwise(F.lit(""))
+
+
 def word_shingles(col: Column, k: int) -> Column:
     """Distinct hashed word k-shingles -> array<bigint>.
 

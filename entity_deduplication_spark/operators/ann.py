@@ -92,23 +92,43 @@ def _band_array(bands: int, r: int):
 
 
 def tune_rhp_bands(
-    threshold: float, target_miss: float = 1e-9, bucket_selectivity: float = 0.35
+    threshold: float,
+    target_miss: float = 1e-9,
+    bucket_selectivity: float = 0.35,
+    n_rows: int | None = None,
 ) -> tuple[int, int]:
     """(rows_per_band r, n_bands B) for recall >= 1 - target_miss at
     cos >= threshold.
 
     Charikar'02: P(sign bits agree) = 1 - acos(cos)/pi =: p. A pair at
     exactly ``threshold`` collides on one r-bit band w.p. p^r; missing all
-    B bands has probability (1 - p^r)^B <= target_miss. r is chosen so a
-    band retains ~``bucket_selectivity`` of at-threshold pairs — larger r
-    means exponentially more, smaller buckets (the skew lever); B then
-    follows from the miss budget. Both are deterministic functions of the
-    threshold, so the same config always yields the same plan.
+    B bands has probability (1 - p^r)^B <= target_miss. Both parameters
+    are deterministic functions of the inputs, so the same config always
+    yields the same plan.
+
+    Without ``n_rows``, r is chosen so a band retains ~``bucket_
+    selectivity`` of at-threshold pairs (larger r = exponentially more,
+    smaller buckets — the skew lever). With ``n_rows``, r instead
+    minimizes the total-cost model for uniformly-bucketed data,
+
+        cost(r) ~ B(r)*n  [banding/shuffle]  +  B(r)*n^2/2^r  [random
+        collisions verified],  B(r) = ln(1/miss)/p^r
+
+    whose minimum is at 2^r = n * (ln 2 + ln p) / (-ln p). For large n
+    this picks far more, far smaller buckets than the selectivity rule —
+    e.g. threshold 0.9 over 10k rows goes from r=6 (64-key bands, ~33M
+    random-collision candidates) to r~15 (~0.5M) — which is exactly the
+    lever that keeps candidate volume linear-ish as n grows. B then
+    follows from the miss budget in both modes.
     """
     import math
 
     p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
-    r = max(1, int(math.log(bucket_selectivity) / math.log(p)))
+    if n_rows is not None and n_rows >= 2 and p > 0.5:
+        opt = n_rows * (math.log(2) + math.log(p)) / (-math.log(p))
+        r = max(1, min(48, round(math.log2(max(opt, 2.0)))))
+    else:
+        r = max(1, int(math.log(bucket_selectivity) / math.log(p)))
     pr = p**r
     b = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - pr)))
     return r, b

@@ -211,10 +211,17 @@ def _global_rank(
     by_range = src.repartitionByRange(F.col(sort_col), F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
-    by_range = by_range.persist()
+    # localCheckpoint, NOT persist: persist() is keyed in the CacheManager
+    # and lives until an explicit unpersist (which no caller can place —
+    # the consumer materializes at an unknown later point), so it would
+    # leak a full ranked copy per call for the session lifetime. A
+    # checkpointed RDD is released by the ContextCleaner as soon as the
+    # DataFrame is garbage collected.
+    by_range = by_range.localCheckpoint(eager=True)
     counts = dict(
         by_range.groupBy("_pid").count().collect()
-    )  # tiny: one row per partition
+    )  # tiny: one row per partition; partition count is bounded by
+    # spark.sql.shuffle.partitions, so this collect is O(hundreds) rows
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -201,38 +201,57 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    method: str = "lsh",
+    method: str = "auto",
     seed: int = 42,
     target_miss: float = 1e-9,
     block_size_limit: int = 100_000,
     grid_chunks: int = 8,
+    n_rows: int | None = None,
+    min_band_bits: int = 4,
 ) -> DataFrame:
     """(id1, id2, cos_sim) embedding near-duplicate pairs above threshold.
 
-    ``method="lsh"`` (default, the 100-TB path): random-hyperplane band
-    keys auto-tuned from the threshold (operators.ann.tune_rhp_bands) so a
-    true pair misses every bucket w.p. <= ``target_miss`` — candidates
-    come from salted bucket equi-joins, then an exact JVM-side cosine
-    verify. No cross join anywhere in the plan.
+    ``method="auto"`` (default): route by LSH selectivity. RHP-LSH is
+    only sub-quadratic when the tuned band width r is meaningful — at low
+    thresholds (cos ~< 0.6) r collapses to 1-3 bits, buckets approach
+    n/2^r, and the "approximate" path degenerates into a worse-constant
+    all-pairs. Below ``min_band_bits`` the exact grid path is chosen
+    instead; above it, LSH. Tuning uses ``n_rows`` (one cheap count if
+    not given) to pick the cost-optimal r for the corpus size.
+
+    ``method="lsh"`` (the 100-TB path for real near-dup thresholds):
+    random-hyperplane band keys auto-tuned from the threshold
+    (operators.ann.tune_rhp_bands) so a true pair misses every bucket
+    w.p. <= ``target_miss`` — candidates come from salted bucket
+    equi-joins, then an exact JVM-side cosine verify. No cross join
+    anywhere in the plan. A band bucket larger than ``block_size_limit``
+    raises at execution time (on_oversize="error") rather than silently
+    truncating — silent truncation would void the stated recall
+    guarantee.
 
     ``method="exact"``: provably-complete blocked grid join — both sides
     are hashed into ``grid_chunks`` chunks, every chunk-pair cell is an
     independent task whose local all-pairs runs as one numpy/BLAS matmul
     inside applyInPandas. Still O(n^2) work (it must be — it's exact), but
     bounded memory per task, fully parallel, and ~100x faster per pair
-    than a row-at-a-time cross join. Use for oracle/recall checks and
-    moderate n.
+    than a row-at-a-time cross join. Use for oracle/recall checks,
+    moderate n, and as auto's low-threshold route.
     """
-    if method == "exact":
-        return _embedding_pairs_grid(
-            df, id_col, vec_col, threshold, grid_chunks
-        )
     from entity_deduplication_spark.operators.ann import (
         rhp_band_keys,
         tune_rhp_bands,
     )
 
-    r, b = tune_rhp_bands(threshold, target_miss)
+    if method == "auto":
+        r0, _ = tune_rhp_bands(threshold, target_miss)
+        method = "lsh" if r0 >= min_band_bits else "exact"
+    if method == "exact":
+        return _embedding_pairs_grid(
+            df, id_col, vec_col, threshold, grid_chunks
+        )
+    if n_rows is None:
+        n_rows = df.count()  # parquet metadata count; tunes r to corpus size
+    r, b = tune_rhp_bands(threshold, target_miss, n_rows=n_rows)
     keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).persist()
     banded = keyed.select(
         F.col(id_col).alias("clip_id"),
@@ -242,6 +261,7 @@ def embedding_cosine_pairs(
         banded,
         key_cols=["band_idx", "band_key"],
         block_size_limit=block_size_limit,
+        on_oversize="error",
     )
     feat = cand.join(
         keyed.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")), "id1"

@@ -45,10 +45,16 @@ def louvain_communities(
 
     for _level in range(max_levels):
         level_nodes = sorted(adj)
-        two_m = sum(sum(nb.values()) for nb in adj.values())  # = 2m (u,v both)
+        # degree convention (networkx/python-louvain): a self-loop of
+        # weight w contributes 2w to its node's degree; aggregated
+        # intra-community weight is stored once and counted twice here,
+        # so total weight is conserved across levels (Blondel et al.)
+        k = {
+            n: sum(adj[n].values()) + adj[n].get(n, 0.0) for n in level_nodes
+        }
+        two_m = sum(k.values())  # = 2m with self-loops double-counted
         if two_m == 0:
             break
-        k = {n: sum(adj[n].values()) for n in level_nodes}
         comm = {n: n for n in level_nodes}
         sigma_tot = dict(k)
 
@@ -119,10 +125,21 @@ def louvain_split_oversized(
     max_size: int = 50,
     resolution: float = 1.0,
     node_id: str = "clip_id",
+    max_edges_per_component: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) with every cluster > max_size re-partitioned
     into its Louvain communities (new cluster id = community's min member,
-    the engine-wide convention). Small clusters pass through untouched."""
+    the engine-wide convention). Small clusters pass through untouched.
+
+    Each oversized component's edge list runs in ONE applyInPandas task
+    (the reference runs Louvain in-memory per component too). A
+    pathological over-merge — the very situation the splitter exists for
+    — could concentrate an unbounded edge list in that task, so
+    components whose edge count exceeds ``max_edges_per_component`` are
+    routed to the distributed score-tier splitter
+    (operators.split.split_oversized_clusters) instead of a single-task
+    Louvain kernel.
+    """
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
     flagged = clusters.join(sizes, "cluster_id")
     keep = flagged.filter(F.col("_sz") <= max_size).select(node_id, "cluster_id")
@@ -148,6 +165,36 @@ def louvain_split_oversized(
         .select(F.col("_c1").alias("_grp"), "id1", "id2", "score")
     )
 
+    # giant-component guard: count edges per component FIRST; components
+    # above the cap never reach the single-task kernel
+    e = e.persist()
+    giant_ids = (
+        e.groupBy("_grp")
+        .agg(F.count(F.lit(1)).alias("_ne"))
+        .filter(F.col("_ne") > max_edges_per_component)
+        .select("_grp")
+    )
+    giant_rows = giant_ids.collect()  # bounded: one row per GIANT component
+    giant_out = None
+    if giant_rows:
+        from entity_deduplication_spark.operators.split import (
+            split_oversized_clusters,
+        )
+
+        gset = [r["_grp"] for r in giant_rows]
+        g_members = big.filter(F.col("cluster_id").isin(gset))
+        g_edges = e.filter(F.col("_grp").isin(gset)).select(
+            "id1", "id2", "score"
+        )
+        giant_out = split_oversized_clusters(
+            g_members.select(node_id, "cluster_id"),
+            g_edges,
+            max_size=max_size,
+            node_id=node_id,
+        )
+        big = big.filter(~F.col("cluster_id").isin(gset))
+        e = e.filter(~F.col("_grp").isin(gset))
+
     id_type = dict(clusters.dtypes)[node_id]
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -171,7 +218,10 @@ def louvain_split_oversized(
     orphans = big.select(node_id).exceptAll(seen).withColumn(
         "cluster_id", F.col(node_id)
     )
-    return keep.unionByName(split).unionByName(orphans)
+    out = keep.unionByName(split).unionByName(orphans)
+    if giant_out is not None:
+        out = out.unionByName(giant_out)
+    return out
 
 
 __all__ = ["louvain_communities", "louvain_split_oversized"]

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from entity_deduplication_spark.functions.fuzzy import (
     batch_ratio,
@@ -89,13 +90,34 @@ def fit_logistic(
     return w, b
 
 
+def _collect_training_sample(
+    labeled: DataFrame, label_col: str, max_rows: int
+) -> pd.DataFrame:
+    """Deterministic, BOUNDED driver collection of the training sample.
+
+    The reference trains on ~10^4 pairs driver-side (ml_based.py:200-240)
+    but nothing used to enforce that here — a caller passing the full
+    candidate set was a driver OOM at 100x scale. A seeded hash order +
+    limit keeps the collect at ``max_rows`` regardless of input size;
+    orderBy+limit plans as TakeOrdered (per-partition top-N, merged), so
+    only ``max_rows`` rows ever reach the driver. The fit itself is
+    order-independent (lexsort before GD).
+    """
+    sample = (
+        labeled.select("features", label_col)
+        .orderBy(F.xxhash64(F.to_json(F.struct("features", label_col))))
+        .limit(max_rows)
+    )
+    return sample.toPandas()
+
+
 def train_pair_scorer(
-    labeled: DataFrame, label_col: str = "label"
+    labeled: DataFrame, label_col: str = "label", max_rows: int = 10_000
 ) -> tuple[np.ndarray, float]:
-    """Fit on a (features, label) DataFrame — the labeled sample is small
-    by construction (reference trains on ~10^3-10^4 pairs driver-side,
-    ml_based.py:200-240); sort by features for order-independence."""
-    pdf = labeled.select("features", label_col).toPandas()
+    """Fit on a (features, label) DataFrame. At most ``max_rows`` rows are
+    collected (deterministic hash-ordered sample — see
+    _collect_training_sample); sort by features for order-independence."""
+    pdf = _collect_training_sample(labeled, label_col, max_rows)
     X = np.stack(pdf["features"].to_numpy())
     y = pdf[label_col].to_numpy().astype(np.float64)
     order = np.lexsort(X.T[::-1])
@@ -118,4 +140,253 @@ def score_with_model(
 
     return pairs_with_features.withColumn(
         "ml_score", F.round(_score(F.col("features")), 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# V8: from-scratch 1-hidden-layer MLP scorer (deep_learning.py:158-187's
+# feedforward classifier, re-done without any DL framework)
+# --------------------------------------------------------------------------
+
+def fit_mlp(
+    X: np.ndarray,
+    y: np.ndarray,
+    hidden: int = 16,
+    iters: int = 500,
+    lr: float = 0.5,
+    seed: int = 42,
+) -> dict:
+    """Deterministic full-batch GD for Dense(hidden, relu) ->
+    Dense(1, sigmoid) with BCE loss. Seeded init, fixed iteration count —
+    identical inputs give bit-identical weights (the reference's Keras
+    feedforward net, deep_learning.py:158-187, minus
+    BatchNorm/Dropout/Adam, which are stochastic-training conveniences
+    orthogonal to the scoring semantics — documented deviation)."""
+    rng = np.random.default_rng(seed)
+    d = X.shape[1]
+    W1 = rng.standard_normal((d, hidden)) * np.sqrt(2.0 / d)
+    b1 = np.zeros(hidden)
+    w2 = rng.standard_normal(hidden) * np.sqrt(1.0 / hidden)
+    b2 = 0.0
+    n = len(y)
+    for _ in range(iters):
+        h = np.maximum(X @ W1 + b1, 0.0)  # (n, hidden) relu
+        z = h @ w2 + b2
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = (p - y) / n  # dBCE/dz
+        gw2 = h.T @ g
+        gb2 = float(g.sum())
+        gh = np.outer(g, w2) * (h > 0)
+        gW1 = X.T @ gh
+        gb1 = gh.sum(axis=0)
+        W1 -= lr * gW1
+        b1 -= lr * gb1
+        w2 -= lr * gw2
+        b2 -= lr * gb2
+    return {"W1": W1, "b1": b1, "w2": w2, "b2": b2}
+
+
+def mlp_forward(X: np.ndarray, params: dict) -> np.ndarray:
+    h = np.maximum(X @ params["W1"] + params["b1"], 0.0)
+    z = h @ params["w2"] + params["b2"]
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+def train_mlp_scorer(
+    labeled: DataFrame,
+    label_col: str = "label",
+    hidden: int = 16,
+    iters: int = 500,
+    seed: int = 42,
+    max_rows: int = 10_000,
+) -> dict:
+    """Fit the MLP on a bounded, deterministic driver sample (same
+    collection contract as train_pair_scorer)."""
+    pdf = _collect_training_sample(labeled, label_col, max_rows)
+    X = np.stack(pdf["features"].to_numpy())
+    y = pdf[label_col].to_numpy().astype(np.float64)
+    order = np.lexsort(X.T[::-1])
+    return fit_mlp(X[order], y[order], hidden=hidden, iters=iters, seed=seed)
+
+
+def score_with_mlp(pairs_with_features: DataFrame, params: dict) -> DataFrame:
+    """Append ``mlp_score`` = MLP(features); the (tiny) weight dict rides
+    the UDF closure, evaluated per Arrow batch executor-side."""
+    frozen = {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(feats: pd.Series) -> pd.Series:
+        X = np.stack(feats.to_numpy())
+        return pd.Series(mlp_forward(X, frozen))
+
+    return pairs_with_features.withColumn(
+        "mlp_score", F.round(_score(F.col("features")), 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# R4: heuristic training-pair generation (ml_based.py:242-349), made
+# deterministic and distributed
+# --------------------------------------------------------------------------
+
+def generate_training_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strong_key,
+    group_key,
+    per_block_pairs: int = 5,
+    neg_pairs: int = 2000,
+    group_block_limit: int = 100,
+    hi_sim: float = 90.0,
+    challenge_band: tuple[float, float] = (60.0, 80.0),
+    seed: int = 42,
+) -> DataFrame:
+    """(id1, id2, label, tier) labeled training pairs, three tiers
+    mirroring the reference's pos/neg/challenging strategies
+    (ml_based.py:242-349):
+
+    * ``pos_key`` — pairs inside a shared non-empty ``strong_key`` block
+      (the reference's domain/phone exact-agreement positives): members
+      hash-ordered per block, consecutive pairs taken, capped at
+      ``per_block_pairs`` per block. label = 1.
+    * ``pos_sim`` / ``challenging`` — pairs inside ``group_key`` blocks
+      of size <= ``group_block_limit`` (the reference skips very large
+      prefix groups), scored with token_sort_ratio: > ``hi_sim`` is a
+      positive; inside ``challenge_band`` is a challenging pair whose
+      label is the pair-hash parity (the reference flips a coin —
+      np.random.choice([0,1]); hash parity keeps the 50/50 odds but is
+      reproducible under any partitioning). Scoring uses the batch DP
+      kernel, zero per-row Python.
+    * ``neg`` — cross-block pairs with DIFFERENT strong keys and
+      different 3-char text prefixes (the reference's negative
+      heuristic), built by aligning hash-bucketed row numbers (bucket b
+      row i pairs with bucket b+1 row i) — a distributed, seeded
+      stand-in for its random index draws, capped at ~``neg_pairs``.
+
+    Everything is deterministic (seeded hashes, no RNG) and every stage
+    is a bounded window/join — no driver-side loops or collects.
+    """
+    from entity_deduplication_spark.functions.fuzzy import (
+        token_sort_ratio_udf,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("_txt"),
+        strong_key.cast("string").alias("_sk"),
+        group_key.cast("string").alias("_gk"),
+    )
+
+    # --- tier 1: strong-key positives (chain pairs, capped per block)
+    wk = Window.partitionBy("_sk").orderBy(
+        F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
+    )
+    keyed = base.filter(
+        F.col("_sk").isNotNull() & (F.length("_sk") > 0)
+    ).withColumn("_rn", F.row_number().over(wk))
+    nxt = F.lead("_id").over(wk)
+    pos_key = (
+        keyed.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull() & (F.col("_rn") <= per_block_pairs))
+        .select(
+            F.least("_id", "_next").alias("id1"),
+            F.greatest("_id", "_next").alias("id2"),
+            F.lit(1).alias("label"),
+            F.lit("pos_key").alias("tier"),
+        )
+    )
+
+    # --- tier 2: group-key blocks scored with token_sort_ratio
+    gw = Window.partitionBy("_gk")
+    grouped = (
+        base.filter(F.col("_gk").isNotNull() & (F.length("_gk") > 0))
+        .withColumn("_bn", F.count(F.lit(1)).over(gw))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= group_block_limit))
+    )
+    ga = grouped.select(
+        "_gk", F.col("_id").alias("id1"), F.col("_txt").alias("_t1")
+    )
+    gb = grouped.select(
+        "_gk", F.col("_id").alias("id2"), F.col("_txt").alias("_t2")
+    )
+    scored = (
+        ga.join(gb, "_gk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "_sim", token_sort_ratio_udf()(F.col("_t1"), F.col("_t2"))
+        )
+    )
+    lo, hi_band = challenge_band
+    pos_sim = scored.filter(F.col("_sim") > hi_sim).select(
+        "id1", "id2", F.lit(1).alias("label"), F.lit("pos_sim").alias("tier")
+    )
+    challenging = scored.filter(
+        (F.col("_sim") >= lo) & (F.col("_sim") <= hi_band)
+    ).select(
+        "id1",
+        "id2",
+        F.pmod(F.xxhash64(F.col("id1"), F.col("id2"), F.lit(seed)), F.lit(2))
+        .cast("int")
+        .alias("label"),
+        F.lit("challenging").alias("tier"),
+    )
+
+    # --- tier 3: negatives from aligned hash buckets
+    nb = 64
+    per_bucket = max(1, -(-neg_pairs // nb))  # ceil
+    bw = Window.partitionBy("_bkt").orderBy(
+        F.xxhash64(F.col("_id"), F.lit(seed + 1)), F.col("_id")
+    )
+    bucketed = (
+        base.withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(nb))
+        )
+        .withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") <= per_bucket)
+    )
+    left = bucketed.select(
+        "_bkt",
+        "_rn",
+        F.col("_id").alias("_ida"),
+        F.col("_sk").alias("_ska"),
+        F.substring("_txt", 1, 3).alias("_pfa"),
+    )
+    right = bucketed.select(
+        (F.pmod(F.col("_bkt") - 1 + nb, F.lit(nb))).alias("_bkt"),
+        "_rn",
+        F.col("_id").alias("_idb"),
+        F.col("_sk").alias("_skb"),
+        F.substring("_txt", 1, 3).alias("_pfb"),
+    )
+    neg = (
+        left.join(right, ["_bkt", "_rn"])
+        .filter(
+            (F.col("_ida") != F.col("_idb"))
+            & ~F.col("_ska").eqNullSafe(F.col("_skb"))
+            & (F.col("_pfa") != F.col("_pfb"))
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id1"),
+            F.greatest("_ida", "_idb").alias("id2"),
+            F.lit(0).alias("label"),
+            F.lit("neg").alias("tier"),
+        )
+    )
+
+    out = pos_key.unionByName(pos_sim).unionByName(challenging).unionByName(neg)
+    # cross-tier dedup: keep the highest-priority tier per pair
+    # (pos_key > pos_sim > challenging > neg — a pair that is a known
+    # positive must not reappear as a coin-flip or negative)
+    prio = (
+        F.when(F.col("tier") == "pos_key", 0)
+        .when(F.col("tier") == "pos_sim", 1)
+        .when(F.col("tier") == "challenging", 2)
+        .otherwise(3)
+    )
+    wp = Window.partitionBy("id1", "id2").orderBy(prio.asc(), F.col("label").desc())
+    return (
+        out.withColumn("_p", F.row_number().over(wp))
+        .filter(F.col("_p") == 1)
+        .select("id1", "id2", "label", "tier")
     )

@@ -33,6 +33,7 @@ def block_self_join_pairs(
     block_size_limit: int = 1000,
     hot_threshold: int = 256,
     salt_buckets: int = 16,
+    on_oversize: str = "truncate",
 ) -> DataFrame:
     """All unordered pairs within each block key, skew-aware.
 
@@ -53,13 +54,43 @@ def block_self_join_pairs(
       the ``id1 < id2`` filter, but the single hot task is split into
       ``s`` tasks.
 
+    ``on_oversize`` controls what happens to a block larger than
+    ``block_size_limit``:
+
+    * ``"truncate"`` (default): keep the first ``limit`` members by id —
+      lossy but bounded, right for heuristic blocking families;
+    * ``"error"``: raise at execution time (``assert_true``) instead of
+      silently dropping members. Callers that advertise a recall
+      guarantee (e.g. the tuned-RHP embedding path) MUST use this so the
+      guarantee is never quietly voided by a hot bucket at scale.
+
     Returns (id1, id2) distinct pairs.
     """
     w = Window.partitionBy(*key_cols)
-    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
-        "_rn", F.row_number().over(w.orderBy(id_col))
-    )
-    sized = sized.filter(F.col("_rn") <= block_size_limit).drop("_rn")
+    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w))
+    if on_oversize == "error":
+        sized = sized.filter(
+            F.assert_true(
+                F.col("_bn") <= F.lit(block_size_limit),
+                F.concat_ws(
+                    " ",
+                    F.lit(
+                        "block_self_join_pairs: a block exceeds "
+                        f"block_size_limit={block_size_limit} (size ="
+                    ),
+                    F.col("_bn").cast("string"),
+                    F.lit(
+                        "); raise the limit, pre-split the key, or use a "
+                        "truncating caller"
+                    ),
+                ),
+            ).isNull()
+        )
+    else:
+        sized = sized.withColumn(
+            "_rn", F.row_number().over(w.orderBy(id_col))
+        )
+        sized = sized.filter(F.col("_rn") <= block_size_limit).drop("_rn")
     sized = sized.filter(F.col("_bn") >= 2)
 
     def _pairs(part: DataFrame) -> DataFrame:

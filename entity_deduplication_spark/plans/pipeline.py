@@ -57,7 +57,14 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     sig = clips.select(
         "clip_id",
         normalize_text(F.col("transcript")).alias("transcript_norm"),
-        F.md5(F.col("bytes")).alias("bytes_md5"),
+        # empty audio gets a NULL digest: "both clips have zero bytes" is
+        # not duplicate evidence (mirrors the empty-transcript treatment
+        # and the pandas oracle's empty-key skip), and every downstream
+        # consumer (exact chain edges, verify's early-exact-drop,
+        # null-safe equality evidence) already treats NULL as no-evidence
+        F.when(F.length(F.col("bytes")) > 0, F.md5(F.col("bytes"))).alias(
+            "bytes_md5"
+        ),
         word_shingles(F.col("transcript"), cfg.shingle_k).alias("shingles"),
         asig(F.col("bytes")).alias("_a"),
     )
