@@ -405,6 +405,34 @@ def q_fuzzy_token_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_blend_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 semantic+string blend (reference semantic_matching.py:219-240):
+    0.7*embedding-cosine + 0.3*string-sim within source blocks. String
+    sim = token-sorted Levenshtein similarity (SQL-expressible stand-in
+    for token_sort_ratio) so the full blend has a DuckDB oracle."""
+    from entity_deduplication_spark.operators.fuzzy import semantic_blend_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    # string component over a short name-proxy (the reference blends on
+    # normalized NAMES, not whole documents — and O(L^2) DP on full texts
+    # is pointless weight for a name-similarity semantic)
+    joined = docs.join(emb, "doc_id").withColumn(
+        "name_proxy", F.substring("text", 1, 64)
+    )
+    return semantic_blend_pairs(
+        joined,
+        "doc_id",
+        "name_proxy",
+        "embedding",
+        block_key=F.col("source"),
+        threshold=0.35,
+    )
+
+
 def q_canonical_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical election + per-field mode backfill (reference
     utils.py:158-185): winners keep non-empty fields, gaps fill with the
@@ -704,9 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
-        # fuzzy verification (V1/V2 family)
+        # fuzzy verification (V1/V2/V9 family)
         "fuzzy_part_name_pairs": q_fuzzy_part_name_pairs,
         "fuzzy_token_ratio_pairs": q_fuzzy_token_ratio_pairs,  # rows-only
+        "semantic_blend_pairs": q_semantic_blend_pairs,
         # canonical + agreement
         "canonical_backfill": q_canonical_backfill,
         "clustering_agreement": q_clustering_agreement,
@@ -1143,6 +1172,30 @@ def oracle_sql() -> dict[str, str]:
                                     + (ss::DOUBLE + ds) * (ds::DOUBLE + dd))
                          END, 4) AS adjusted_rand
             FROM x
+        """,
+        "semantic_blend_pairs": """
+            WITH j AS (
+              SELECT d.doc_id, d.source,
+                     array_to_string(
+                       list_sort(string_split(substr(d.text, 1, 64), ' ')), ' '
+                     ) AS ts,
+                     e.embedding::DOUBLE[] AS v
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ), scored AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))) AS cos_raw,
+                     1.0 - levenshtein(a.ts, b.ts)::DOUBLE /
+                           greatest(length(a.ts), length(b.ts), 1) AS lev_raw
+              FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT id1, id2,
+                   round(cos_raw, 4) AS cos_sim,
+                   round(lev_raw, 4) AS lev_sim,
+                   round(0.7 * cos_raw + 0.3 * lev_raw, 4) AS blended_sim
+            FROM scored
+            WHERE 0.7 * cos_raw + 0.3 * lev_raw > 0.35
         """,
         "name_suffix_pairs": """
             WITH k AS (SELECT c_custkey, right(c_name, 3) AS suffix FROM customer)

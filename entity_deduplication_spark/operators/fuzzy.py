@@ -85,6 +85,84 @@ def levenshtein_sim_pairs(
     )
 
 
+def semantic_blend_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_col: str,
+    block_key: Column,
+    threshold: float = 0.35,
+    semantic_weight: float = 0.7,
+    string_weight: float = 0.3,
+    block_size_limit: int = 200,
+) -> DataFrame:
+    """(id1, id2, cos_sim, lev_sim, blended_sim) — the reference's V9
+    semantic+string blend (semantic_matching.py:219-240): within blocks
+    capped at 200 members (the reference skips larger ones), score
+    ``blended = 0.7 * embedding-cosine + 0.3 * string-similarity`` and
+    keep pairs strictly above ``threshold``.
+
+    String similarity here is token-sorted Levenshtein similarity
+    (1 - lev/max_len) rather than the reference's token_sort_ratio —
+    the InDel ratio is not SQL-expressible, this is, so the whole blend
+    is DuckDB-oracle-checkable end to end (documented deviation; the
+    two agree closely on token-sorted short strings). Cosine runs
+    JVM-side; only the O(L^2) DP kernel crosses to Python, batched.
+    """
+    from entity_deduplication_spark.functions.similarity import cosine
+
+    keyed = df.select(
+        F.col(id_col).alias("clip_id"), block_key.alias("block_key")
+    )
+    cand = block_self_join_pairs(
+        keyed, key_cols=["block_key"], block_size_limit=block_size_limit
+    )
+    side = df.select(
+        F.col(id_col),
+        token_sorted(F.col(text_col)).alias("_ts"),
+        F.col(vec_col).alias("_v"),
+    )
+    feat = cand.join(
+        side.select(
+            F.col(id_col).alias("id1"),
+            F.col("_ts").alias("_t1"),
+            F.col("_v").alias("_v1"),
+        ),
+        "id1",
+    ).join(
+        side.select(
+            F.col(id_col).alias("id2"),
+            F.col("_ts").alias("_t2"),
+            F.col("_v").alias("_v2"),
+        ),
+        "id2",
+    )
+    lev = levenshtein_udf()(F.col("_t1"), F.col("_t2"))
+    lev_sim = F.lit(1.0) - lev / F.greatest(
+        F.length("_t1"), F.length("_t2"), F.lit(1)
+    ).cast("double")
+    scored = feat.withColumn(
+        "cos_sim", cosine(F.col("_v1"), F.col("_v2"))
+    ).withColumn("lev_sim", lev_sim)
+    # explicit literal weights (not 1-x arithmetic) so the DuckDB oracle
+    # can use the identical double constants
+    blended = (
+        F.lit(semantic_weight) * F.col("cos_sim")
+        + F.lit(string_weight) * F.col("lev_sim")
+    )
+    return (
+        scored.withColumn("blended_sim", blended)
+        .filter(F.col("blended_sim") > threshold)
+        .select(
+            "id1",
+            "id2",
+            F.round("cos_sim", 4).alias("cos_sim"),
+            F.round("lev_sim", 4).alias("lev_sim"),
+            F.round("blended_sim", 4).alias("blended_sim"),
+        )
+    )
+
+
 def token_ratio_pairs(
     df: DataFrame,
     id_col: str,

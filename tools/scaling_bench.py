@@ -8,24 +8,28 @@ engine owns vs factors the shared host imposes.
 
 Wall-clock on this host is co-tenant-bound (external tenants hold 10-20
 of 32 vCPUs at arbitrary times; identical runs swing up to 3x), so a raw
-wall ratio measures tenant contention, not the engine. Spark's own task
-metrics give an exact decomposition. Per timed run:
+wall ratio measures tenant contention, not the engine. Per timed run:
 
-    exec_run_s = sum of executorRunTime  (task-slot wall time)
-    exec_cpu_s = sum of executorCpuTime  (cycles tasks actually got)
+    exec_run_s = sum of executorRunTime  (Spark task metrics: task-slot
+                 wall time)
+    tree_cpu_s = process-tree CPU from /proc (JVM + pyspark workers +
+                 driver — executorCpuTime alone under-counts a
+                 Python-UDF pipeline, whose JVM tasks block while the
+                 Python worker computes)
 
     occupancy = exec_run_s / (wall * cores)   # slot filling: ENGINE's
         property — serialization, driver barriers, scheduling gaps all
-        push it down, and 4x the slots makes any gap 4x more expensive
-    oncpu     = exec_cpu_s / exec_run_s       # host preemption: fraction
-        of occupied-slot time the kernel actually scheduled us — tenant
-        pressure, NOT a plan property
-    work      = exec_cpu_s                    # total engine work
+        push it down, 4x the slots makes any gap 4x more expensive —
+        and preemption-IMMUNE (a preempted task still occupies its slot)
+    delivery  = tree_cpu_s / exec_run_s       # cores the host actually
+        delivered per occupied slot-second — tenant pressure, NOT a
+        plan property
+    work      = tree_cpu_s                    # total engine work
 
 These multiply back to wall exactly: wall = work / (cores * occupancy *
-oncpu), so the wall-based efficiency factorizes as
+delivery), so the wall-based efficiency factorizes as
 
-    eff_wall = (occ_4N/occ_N) * (oncpu_4N/oncpu_N) * (work_N/work_4N)
+    eff_wall = (occ_4N/occ_N) * (del_4N/del_N) * (work_N/work_4N)
 
 and the ENGINE-side (noise-immune) efficiency is the tenant-independent
 part:
@@ -33,7 +37,7 @@ part:
     eff_engine = (occ_4N/occ_N) * (work_N/work_4N)
 
 /proc/stat deltas (steal + idle + capacity) are sampled around each run
-to corroborate the oncpu factor with host-level tenant load.
+to corroborate the delivery factor with host-level tenant load.
 
 Measurement hygiene: levels INTERLEAVED across rounds; fresh JVM per
 sample; JIT warm-up on a small input; `clearCache()` before timing
@@ -94,6 +98,29 @@ def proc_stat():
     return {"total": sum(vals), "idle": vals[3] + vals[4], "steal": vals[7]}
 
 
+def tree_cpu_s():
+    # total CPU of THIS process group (python driver + JVM + pyspark
+    # daemon/workers): Spark's executorCpuTime is JVM-side only and a
+    # Python-UDF-heavy pipeline does much of its work in pyspark workers,
+    # invisible to it. Live processes contribute utime+stime; reaped dead
+    # children are in their parent's cutime+cstime (no double count).
+    pg = os.getpgid(0)
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        if int(rest[2]) != pg:
+            continue
+        total += int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    return total / hz
+
+
 warm_path, _ = ensure_clips_parquet(warm_clips)
 warm = spark.read.parquet(warm_path)
 DedupPipeline(spark).run(warm).clusters.write.mode("overwrite").format("noop").save()
@@ -105,12 +132,14 @@ clips.count()
 spark.catalog.clearCache()
 
 cpu0, run0 = stage_totals()
+tree0 = tree_cpu_s()
 st0 = proc_stat()
 t0 = time.time()
 res = DedupPipeline(spark).run(clips)
 res.clusters.write.mode("overwrite").format("noop").save()
 wall = time.time() - t0
 st1 = proc_stat()
+tree1 = tree_cpu_s()
 cpu1, run1 = stage_totals()
 
 hz = os.sysconf("SC_CLK_TCK")
@@ -120,6 +149,7 @@ out = {
     "wall": wall,
     "exec_cpu_s": (cpu1 - cpu0) / 1e9,
     "exec_run_s": (run1 - run0) / 1e3,
+    "tree_cpu_s": tree1 - tree0,
     "host_ncpu": ncpu,
     "host_capacity_s": ncpu * wall,
     "host_idle_s": (st1["idle"] - st0["idle"]) / hz,
@@ -137,6 +167,7 @@ def run_level(cores: int) -> dict:
         text=True,
         timeout=5400,
         cwd="/root/repo",
+        start_new_session=True,  # own pgid -> tree_cpu_s scopes to this run
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -150,17 +181,20 @@ def main() -> None:
         for cores in LEVELS:
             s = run_level(cores)
             s["occupancy"] = s["exec_run_s"] / (s["wall"] * cores)
-            s["oncpu"] = (
+            s["delivery"] = (
+                s["tree_cpu_s"] / s["exec_run_s"] if s["exec_run_s"] else 0.0
+            )
+            s["jvm_oncpu"] = (
                 s["exec_cpu_s"] / s["exec_run_s"] if s["exec_run_s"] else 0.0
             )
             s["host_busy_s"] = s["host_capacity_s"] - s["host_idle_s"]
-            s["external_busy_s"] = max(0.0, s["host_busy_s"] - s["exec_cpu_s"])
+            s["external_busy_s"] = max(0.0, s["host_busy_s"] - s["tree_cpu_s"])
             s["external_load_cores"] = s["external_busy_s"] / s["wall"]
             samples[cores].append(s)
             print(
                 f"round {r} local[{cores}]: wall={s['wall']:.1f}s "
-                f"cpu={s['exec_cpu_s']:.1f}s run={s['exec_run_s']:.1f}s "
-                f"occ={s['occupancy']:.2f} oncpu={s['oncpu']:.2f} "
+                f"tree_cpu={s['tree_cpu_s']:.1f}s run={s['exec_run_s']:.1f}s "
+                f"occ={s['occupancy']:.2f} del={s['delivery']:.2f} "
                 f"ext_load={s['external_load_cores']:.1f} "
                 f"steal={s['host_steal_s']:.1f}s",
                 flush=True,
@@ -173,19 +207,20 @@ def main() -> None:
     factor = n4 / n
     med_wall = {c: med(c, "wall") for c in LEVELS}
     best_wall = {c: min(s["wall"] for s in samples[c]) for c in LEVELS}
-    med_cpu = {c: med(c, "exec_cpu_s") for c in LEVELS}
+    med_work = {c: med(c, "tree_cpu_s") for c in LEVELS}
+    med_jvm = {c: med(c, "exec_cpu_s") for c in LEVELS}
     med_occ = {c: med(c, "occupancy") for c in LEVELS}
     max_occ = {c: max(s["occupancy"] for s in samples[c]) for c in LEVELS}
-    med_oncpu = {c: med(c, "oncpu") for c in LEVELS}
+    med_del = {c: med(c, "delivery") for c in LEVELS}
     med_ext = {c: med(c, "external_load_cores") for c in LEVELS}
 
     thr = {c: N_CLIPS / med_wall[c] for c in LEVELS}
     thr_best = {c: N_CLIPS / best_wall[c] for c in LEVELS}
     eff_wall_median = round((thr[n4] / thr[n]) / factor, 3)
     eff_wall_best = round((thr_best[n4] / thr_best[n]) / factor, 3)
-    work_ratio = round(med_cpu[n4] / med_cpu[n], 3)
+    work_ratio = round(med_work[n4] / med_work[n], 3)
     occ_ratio = med_occ[n4] / med_occ[n]
-    oncpu_ratio = med_oncpu[n4] / med_oncpu[n]
+    del_ratio = med_del[n4] / med_del[n]
     eff_engine = round(occ_ratio / work_ratio, 3)
     eff_engine_peak = round(
         (max_occ[n4] / max_occ[n]) / work_ratio, 3
@@ -196,17 +231,18 @@ def main() -> None:
         out = []
         for i, s in enumerate(samples[level]):
             out.append(
-                f"| {i} | {s['wall']:.1f} | {s['exec_cpu_s']:.1f} | "
-                f"{s['exec_run_s']:.1f} | {s['occupancy']:.3f} | "
-                f"{s['oncpu']:.3f} | {s['external_load_cores']:.1f} | "
-                f"{s['host_steal_s']:.1f} |"
+                f"| {i} | {s['wall']:.1f} | {s['tree_cpu_s']:.1f} | "
+                f"{s['exec_cpu_s']:.1f} | {s['exec_run_s']:.1f} | "
+                f"{s['occupancy']:.3f} | {s['delivery']:.3f} | "
+                f"{s['external_load_cores']:.1f} | {s['host_steal_s']:.1f} |"
             )
         return "\n".join(out)
 
     hdr = (
-        "| round | wall (s) | exec CPU (s) | exec run (s) | occupancy | "
-        "on-CPU frac | ext load (cores) | steal (s) |\n"
-        "|---|---|---|---|---|---|---|---|"
+        "| round | wall (s) | tree CPU (s) | JVM task CPU (s) | "
+        "task run (s) | occupancy | delivery | ext load (cores) | "
+        "steal (s) |\n"
+        "|---|---|---|---|---|---|---|---|---|"
     )
 
     md = f"""# BENCH/BASELINE — engine throughput + scaling evidence (round 3)
@@ -221,23 +257,31 @@ clearCache per sample).
 This host is a shared VM: external tenants hold 10-20 of
 {samples[n][0]['host_ncpu']} vCPUs at arbitrary times, so wall-clock on
 identical runs swings up to 3x and a raw wall ratio measures tenant
-contention, not the engine. Spark's task metrics decompose wall exactly
-— ``wall = exec_cpu / (cores x occupancy x oncpu)`` where
+contention, not the engine. Three per-run measurements decompose wall
+exactly — ``wall = work / (cores x occupancy x delivery)``:
 
-* **occupancy** = exec_run / (wall x cores): how full the engine keeps
-  its task slots. This is the ENGINE's scaling property — any
-  serialization, driver barrier, or scheduling gap empties slots, and
-  4x the slots makes every gap 4x more expensive, so occupancy holding
-  steady from N to 4N is precisely "the plan has no serial bottleneck".
-* **on-CPU fraction** = exec_cpu / exec_run: how much of occupied-slot
-  time the kernel actually scheduled us — tenant pressure (and steal),
-  NOT a plan property. A run preempted by co-tenants keeps occupancy
-  but loses on-CPU fraction.
-* **work** = exec_cpu: total cycles. work_4N/work_N ~ 1.0 means going
-  wider creates no extra engine work (no overhead blowup).
+* **work** = process-tree CPU (JVM + pyspark workers + driver, from
+  /proc utime+stime+reaped-children): total cycles the job consumed.
+  Spark's `executorCpuTime` alone under-counts a Python-UDF pipeline
+  (the JVM task is blocked while the Python worker computes), so the
+  tree total is the honest work number; the JVM task CPU is reported
+  alongside. work_4N/work_N ~ 1.0 means going wider creates no extra
+  engine work.
+* **occupancy** = sum(executorRunTime) / (wall x cores): how full the
+  engine keeps its task slots. This is the ENGINE's scaling property —
+  serialization, driver barriers, and scheduling gaps empty slots, and
+  4x the slots makes every gap 4x more expensive. It is
+  preemption-IMMUNE: a task preempted by tenants still occupies its
+  slot (runTime is task wall time), so occupancy holding steady from N
+  to 4N is precisely "the plan has no serial bottleneck", measured
+  without tenant pollution.
+* **delivery** = tree-CPU / sum(executorRunTime): cores the host
+  actually delivered per occupied slot-second. Tenant preemption and
+  steal push it down; Python workers computing while their JVM slot
+  waits push it up. A host property, not a plan property.
 
 So the wall efficiency factorizes as ``eff_wall = (occ_4N/occ_N) x
-(oncpu_4N/oncpu_N) x (work_N/work_4N)`` and the engine-side
+(del_4N/del_N) x (work_N/work_4N)`` and the engine-side
 (tenant-independent) efficiency is
 
     eff_engine = (occ_4N / occ_N) x (work_N / work_4N)
@@ -261,9 +305,10 @@ local[{n4}] (4N):
 | wall (s) | {med_wall[n]:.1f} | {med_wall[n4]:.1f} | {med_wall[n]/med_wall[n4]:.2f}x speedup |
 | best wall (s) | {best_wall[n]:.1f} | {best_wall[n4]:.1f} | {best_wall[n]/best_wall[n4]:.2f}x speedup |
 | clips/s | {thr[n]:.1f} | {thr[n4]:.1f} | best: {thr_best[n]:.1f} / {thr_best[n4]:.1f} |
-| executor CPU (s) | {med_cpu[n]:.1f} | {med_cpu[n4]:.1f} | work inflation {work_ratio}x |
+| tree CPU = work (s) | {med_work[n]:.1f} | {med_work[n4]:.1f} | work inflation {work_ratio}x |
+| JVM task CPU (s) | {med_jvm[n]:.1f} | {med_jvm[n4]:.1f} | (subset of work) |
 | occupancy | {med_occ[n]:.3f} | {med_occ[n4]:.3f} | {occ_ratio:.3f}x |
-| on-CPU fraction | {med_oncpu[n]:.3f} | {med_oncpu[n4]:.3f} | {oncpu_ratio:.3f}x (tenant factor) |
+| delivery (cores/slot) | {med_del[n]:.3f} | {med_del[n4]:.3f} | {del_ratio:.3f}x (host factor) |
 | external load (cores) | {med_ext[n]:.1f} | {med_ext[n4]:.1f} | tenant pressure during runs |
 
 | efficiency (target >= 0.8) | value |
@@ -273,15 +318,16 @@ local[{n4}] (4N):
 | **engine-side (noise-immune): (occ_4N/occ_N) / work-inflation** | **{eff_engine}** |
 | engine-side, peak occupancy | {eff_engine_peak} |
 
-Check: eff_wall = engine-side x tenant factor = {eff_engine} x
-{oncpu_ratio:.3f} = {round(eff_engine * oncpu_ratio, 3)} (vs measured
-{eff_wall_median}; small residual = median non-multiplicativity).
+Check: eff_wall = engine-side x host factor = {eff_engine} x
+{del_ratio:.3f} = {round(eff_engine * del_ratio, 3)} (vs measured
+{eff_wall_median}; residual = median non-multiplicativity).
 
 The engine-side number is the one a real 4N-executor cluster (no
 co-tenants per core) realizes: occupancy scaling shows the plan keeps
 4x the slots as full as 1x (no serialization), work inflation shows
-widening adds no duplicated effort, and the on-CPU column attributes
-the remaining wall gap to host preemption run by run.
+widening adds no duplicated effort, and the delivery + external-load +
+steal columns attribute the remaining wall gap to host preemption run
+by run.
 
 ## Reference comparison (single node)
 
@@ -305,7 +351,7 @@ reference is a single pandas process.
                 "eff_engine": eff_engine,
                 "eff_engine_peak": eff_engine_peak,
                 "work_ratio": work_ratio,
-                "oncpu_ratio": round(oncpu_ratio, 3),
+                "delivery_ratio": round(del_ratio, 3),
                 "samples": {str(c): samples[c] for c in LEVELS},
             }
         )
