@@ -318,18 +318,33 @@ def generate_training_pairs(
         )
     )
     lo, hi_band = challenge_band
-    pos_sim = scored.filter(F.col("_sim") > hi_sim).select(
-        "id1", "id2", F.lit(1).alias("label"), F.lit("pos_sim").alias("tier")
+    # one pass over the scored pairs: tagging both tiers in a single
+    # select keeps exactly ONE ArrowEvalPython (DP kernel) in the plan —
+    # two separate filter branches would each re-evaluate the UDF over
+    # every grouped pair
+    tier_tag = (
+        F.when(F.col("_sim") > hi_sim, F.lit("pos_sim"))
+        .when(
+            (F.col("_sim") >= lo) & (F.col("_sim") <= hi_band),
+            F.lit("challenging"),
+        )
     )
-    challenging = scored.filter(
-        (F.col("_sim") >= lo) & (F.col("_sim") <= hi_band)
-    ).select(
-        "id1",
-        "id2",
-        F.pmod(F.xxhash64(F.col("id1"), F.col("id2"), F.lit(seed)), F.lit(2))
-        .cast("int")
-        .alias("label"),
-        F.lit("challenging").alias("tier"),
+    sim_pairs = (
+        scored.withColumn("tier", tier_tag)
+        .filter(F.col("tier").isNotNull())
+        .select(
+            "id1",
+            "id2",
+            F.when(F.col("tier") == "pos_sim", F.lit(1))
+            .otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("id1"), F.col("id2"), F.lit(seed)),
+                    F.lit(2),
+                ).cast("int")
+            )
+            .alias("label"),
+            "tier",
+        )
     )
 
     # --- tier 3: negatives from aligned hash buckets
@@ -374,7 +389,7 @@ def generate_training_pairs(
         )
     )
 
-    out = pos_key.unionByName(pos_sim).unionByName(challenging).unionByName(neg)
+    out = pos_key.unionByName(sim_pairs).unionByName(neg)
     # cross-tier dedup: keep the highest-priority tier per pair
     # (pos_key > pos_sim > challenging > neg — a pair that is a known
     # positive must not reappear as a coin-flip or negative)
