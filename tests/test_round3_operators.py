@@ -322,3 +322,59 @@ def test_louvain_split_giant_component_falls_back(spark):
     assert sorted(out["clip_id"]) == nodes
     sizes = out.groupby("cluster_id").size()
     assert sizes.max() <= 8
+
+
+# ---------------------------------------------------------------------------
+# semantic blend (V9)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_blend_matches_hand_computed(spark):
+    from entity_deduplication_spark.operators.fuzzy import semantic_blend_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    rows = [
+        (0, "alpha beta gamma", [1.0, 0.0, 0.0, 0.1], "g1"),
+        (1, "beta alpha gamma", [0.9, 0.1, 0.0, 0.1], "g1"),
+        (2, "totally different words", [0.0, 1.0, 0.0, 0.0], "g1"),
+        (3, "alpha beta gamma", [1.0, 0.0, 0.05, 0.1], "g2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, txt string, vec array<double>, grp string"
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["cos_sim"], r["lev_sim"], r["blended_sim"])
+        for r in semantic_blend_pairs(
+            df, "id", "txt", "vec", F.col("grp"), threshold=0.0
+        ).collect()
+    }
+    # oracle: all in-group pairs with blend > 0
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][3] != rows[j][3]:
+                continue
+            a, b = np.array(rows[i][2]), np.array(rows[j][2])
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            ts_i = " ".join(sorted(rows[i][1].split()))
+            ts_j = " ".join(sorted(rows[j][1].split()))
+            ls = 1.0 - lev(ts_i, ts_j) / max(len(ts_i), len(ts_j), 1)
+            blend = 0.7 * cos + 0.3 * ls
+            if blend <= 0.0:
+                assert (rows[i][0], rows[j][0]) not in got
+                continue
+            g = got[(rows[i][0], rows[j][0])]
+            assert g[0] == pytest.approx(round(cos, 4), abs=1e-9)
+            assert g[1] == pytest.approx(round(ls, 4), abs=1e-9)
+            assert g[2] == pytest.approx(round(blend, 4), abs=1e-9)
+    # token-sorted: ids 0 and 1 are anagram-token texts -> lev_sim 1.0
+    assert got[(0, 1)][1] == 1.0
