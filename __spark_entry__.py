@@ -574,8 +574,14 @@ def q_social_handle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # the reference filters handle != '' before grouping
+    # (deterministic_feature.py:402) — without it every no-handle row
+    # lands in one giant '' block (quadratic bogus pairs on real data)
+    docs = docs.withColumn("handle", social_handle(F.col("url"))).filter(
+        F.length("handle") > 0
+    )
     return key_equality_pairs(
-        docs, "doc_id", social_handle(F.col("url")), key_name="handle"
+        docs, "doc_id", F.col("handle"), key_name="handle"
     )
 
 
@@ -623,7 +629,10 @@ def q_mlp_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
         )
     )
-    feat = pair_features(feat).persist()
+    feat = pair_features(feat).localCheckpoint(eager=True)
+    # localCheckpoint, not persist: feat is consumed twice (driver-side
+    # fit + distributed scoring) and a bare persist leaks a
+    # session-lifetime CacheManager entry
     labeled = feat.withColumn("label", (F.col("jaccard") >= 0.5).cast("double"))
     params = train_mlp_scorer(labeled)
     return score_with_mlp(feat, params).select("id1", "id2", "mlp_score")
@@ -685,7 +694,10 @@ def q_ml_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
         )
     )
-    feat = pair_features(feat).persist()
+    feat = pair_features(feat).localCheckpoint(eager=True)
+    # localCheckpoint, not persist: feat is consumed twice (driver-side
+    # fit + distributed scoring) and a bare persist leaks a
+    # session-lifetime CacheManager entry
     labeled = feat.withColumn(
         "label", (F.col("jaccard") >= 0.5).cast("double")
     )
@@ -993,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id1, b.doc_id AS id2, a.handle
             FROM k a JOIN k b ON a.handle = b.handle AND a.doc_id < b.doc_id
+            WHERE a.handle <> ''
         """,
         "lang_source_dist": """
             SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
@@ -1174,13 +1187,18 @@ def oracle_sql() -> dict[str, str]:
             FROM x
         """,
         "semantic_blend_pairs": """
-            WITH j AS (
+            WITH j0 AS (
               SELECT d.doc_id, d.source,
                      array_to_string(
                        list_sort(string_split(substr(d.text, 1, 64), ' ')), ' '
                      ) AS ts,
                      e.embedding::DOUBLE[] AS v
               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ), j AS (
+              -- blocks over 200 members are SKIPPED (reference
+              -- semantic_matching.py:214-216), mirrored from the Spark op
+              SELECT doc_id, source, ts, v FROM j0
+              QUALIFY count(*) OVER (PARTITION BY source) <= 200
             ), scored AS (
               SELECT a.doc_id AS id1, b.doc_id AS id2,
                      list_dot_product(a.v, b.v) /

@@ -30,10 +30,15 @@ def tokens(col: Column) -> Column:
 
 
 def social_handle(col: Column) -> Column:
-    """Lower-cased last URL path segment, '' when the URL has no path —
-    the reference's social-profile block key (P7/B5,
-    deterministic_feature.py:740-756, blocked at :394-404): strip query
-    params, strip trailing slashes, take the last '/'-separated part.
+    """Lower-cased last URL path segment — the reference's social-profile
+    block key (P7/B5, deterministic_feature.py:740-756, blocked at
+    :394-404): strip query params, strip trailing slashes, take the last
+    '/'-separated part. A path-less URL like ``https://example.com``
+    yields the lowercased DOMAIN (the scheme's ``//`` makes the string
+    contain '/', so the last segment is the host — matching the
+    reference's ``parts[-1]`` behavior); only a string with no '/' at
+    all (or NULL) yields ''. Callers blocking on this key must filter
+    empty handles, as the reference does (handle != '' at :402).
     Pure Catalyst; NULL input yields ''.
     """
     clean = F.regexp_replace(

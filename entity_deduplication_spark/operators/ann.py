@@ -150,12 +150,21 @@ def rhp_band_keys(
     index so keys never collide across bands.
     """
     r, b = rows_per_band, n_bands
+    # the plane matrix is a deterministic function of (seed, dim, r, b):
+    # build it ONCE per worker per dim (the dim is only known from the
+    # first batch) instead of redrawing an r*b x dim Gaussian every
+    # Arrow batch — same keys, ~free after the first batch
+    planes_by_dim: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _keys(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((mat.shape[1], r * b))
+        dim = mat.shape[1]
+        planes = planes_by_dim.get(dim)
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((dim, r * b))
+            planes_by_dim[dim] = planes
         bits = (mat @ planes) > 0  # batch x (r*b)
         w = 1 << np.arange(r, dtype=np.int64)
         keys = bits.reshape(len(mat), b, r).astype(np.int64) @ w  # batch x b

@@ -211,13 +211,13 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """(id1, id2, cos_sim) embedding near-duplicate pairs above threshold.
 
-    ``method="auto"`` (default): route by LSH selectivity. RHP-LSH is
-    only sub-quadratic when the tuned band width r is meaningful — at low
-    thresholds (cos ~< 0.6) r collapses to 1-3 bits, buckets approach
-    n/2^r, and the "approximate" path degenerates into a worse-constant
-    all-pairs. Below ``min_band_bits`` the exact grid path is chosen
-    instead; above it, LSH. Tuning uses ``n_rows`` (one cheap count if
-    not given) to pick the cost-optimal r for the corpus size.
+    ``method="auto"`` (default): route on the SAME n-aware tuned band
+    width r that the LSH path would execute with (one cheap count if
+    ``n_rows`` not given). RHP-LSH is only sub-quadratic when r is
+    meaningful — at low thresholds (cos ~< 0.6) r collapses to 1-3
+    bits, buckets approach n/2^r, and the "approximate" path degenerates
+    into a worse-constant all-pairs. Below ``min_band_bits`` the exact
+    grid path is chosen instead; above it, LSH.
 
     ``method="lsh"`` (the 100-TB path for real near-dup thresholds):
     random-hyperplane band keys auto-tuned from the threshold
@@ -242,16 +242,29 @@ def embedding_cosine_pairs(
         tune_rhp_bands,
     )
 
-    if method == "auto":
-        r0, _ = tune_rhp_bands(threshold, target_miss)
-        method = "lsh" if r0 >= min_band_bits else "exact"
+    r = b = None
+    if method in ("auto", "lsh"):
+        # route AND execute on the same n-aware tuning — deciding the
+        # route with the old selectivity rule but executing with the
+        # n-aware r would let the two models disagree near min_band_bits
+        if n_rows is None:
+            n_rows = df.count()  # parquet metadata count
+        r, b = tune_rhp_bands(threshold, target_miss, n_rows=n_rows)
+        if method == "auto":
+            # LSH wins only when (a) bands are wide enough to be selective
+            # AND (b) its expected random-collision verify work
+            # b * n^2 / 2^r is below the exact path's n^2 / 2 all-pairs —
+            # i.e. b < 2^(r-1). Both terms come from the SAME tuning that
+            # the LSH path executes with, so route and plan cannot
+            # disagree (low thresholds blow up b faster than 2^r and
+            # route exact; real near-dup thresholds route LSH).
+            method = (
+                "lsh" if (r >= min_band_bits and b < 2 ** (r - 1)) else "exact"
+            )
     if method == "exact":
         return _embedding_pairs_grid(
             df, id_col, vec_col, threshold, grid_chunks
         )
-    if n_rows is None:
-        n_rows = df.count()  # parquet metadata count; tunes r to corpus size
-    r, b = tune_rhp_bands(threshold, target_miss, n_rows=n_rows)
     keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).persist()
     banded = keyed.select(
         F.col(id_col).alias("clip_id"),

@@ -97,10 +97,11 @@ def semantic_blend_pairs(
     block_size_limit: int = 200,
 ) -> DataFrame:
     """(id1, id2, cos_sim, lev_sim, blended_sim) — the reference's V9
-    semantic+string blend (semantic_matching.py:219-240): within blocks
-    capped at 200 members (the reference skips larger ones), score
-    ``blended = 0.7 * embedding-cosine + 0.3 * string-similarity`` and
-    keep pairs strictly above ``threshold``.
+    semantic+string blend (semantic_matching.py:219-240): blocks larger
+    than ``block_size_limit`` (200) are SKIPPED entirely, matching the
+    reference's cap at semantic_matching.py:214-216; within surviving
+    blocks score ``blended = 0.7 * embedding-cosine + 0.3 *
+    string-similarity`` and keep pairs strictly above ``threshold``.
 
     String similarity here is token-sorted Levenshtein similarity
     (1 - lev/max_len) rather than the reference's token_sort_ratio —
@@ -115,7 +116,10 @@ def semantic_blend_pairs(
         F.col(id_col).alias("clip_id"), block_key.alias("block_key")
     )
     cand = block_self_join_pairs(
-        keyed, key_cols=["block_key"], block_size_limit=block_size_limit
+        keyed,
+        key_cols=["block_key"],
+        block_size_limit=block_size_limit,
+        on_oversize="skip",
     )
     side = df.select(
         F.col(id_col),

@@ -166,8 +166,11 @@ def louvain_split_oversized(
     )
 
     # giant-component guard: count edges per component FIRST; components
-    # above the cap never reach the single-task kernel
-    e = e.persist()
+    # above the cap never reach the single-task kernel.
+    # localCheckpoint (not persist): materializes once for the multiple
+    # consumers below without leaving a session-lifetime CacheManager
+    # entry behind (same rationale as blocking._global_rank).
+    e = e.localCheckpoint(eager=True)
     giant_ids = (
         e.groupBy("_grp")
         .agg(F.count(F.lit(1)).alias("_ne"))

@@ -43,6 +43,31 @@ FEATURE_NAMES = [
 ]
 
 
+def _batch_token_jaccard(t1: list[str], t2: list[str]) -> np.ndarray:
+    """Whitespace-token Jaccard per pair, batch-vectorized: factorize the
+    whole batch's tokens to int codes once (C-level), then per-row
+    distinct counts via np.unique + bincount over (row, code) keys —
+    |A ∩ B| = |A| + |B| - |A ∪ B|. Two empty sets score 1.0."""
+    n = len(t1)
+    split_a = [s.split() for s in t1]  # row fill only; set ops are batched
+    split_b = [s.split() for s in t2]
+    ca_lens = np.fromiter((len(x) for x in split_a), dtype=np.int64, count=n)
+    cb_lens = np.fromiter((len(x) for x in split_b), dtype=np.int64, count=n)
+    flat = [t for toks in split_a for t in toks]
+    flat += [t for toks in split_b for t in toks]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    m = max(len(uniq), 1)
+    ra = np.repeat(np.arange(n, dtype=np.int64), ca_lens)
+    rb = np.repeat(np.arange(n, dtype=np.int64), cb_lens)
+    ka = np.unique(ra * m + codes[: len(ra)])
+    kb = np.unique(rb * m + codes[len(ra) :])
+    na = np.bincount(ka // m, minlength=n)
+    nb = np.bincount(kb // m, minlength=n)
+    nu = np.bincount(np.unique(np.concatenate([ka, kb])) // m, minlength=n)
+    inter = na + nb - nu
+    return np.where(nu > 0, inter / np.maximum(nu, 1), 1.0)
+
+
 def _feature_matrix(t1: list[str], t2: list[str]) -> np.ndarray:
     """(batch x 5) float64 feature matrix, fully batch-vectorized."""
     n = len(t1)
@@ -50,10 +75,7 @@ def _feature_matrix(t1: list[str], t2: list[str]) -> np.ndarray:
     f[:, 0] = batch_ratio(t1, t2) / 100.0
     f[:, 1] = batch_token_sort_ratio(t1, t2) / 100.0
     f[:, 2] = batch_token_set_ratio(t1, t2) / 100.0
-    for i, (a, b) in enumerate(zip(t1, t2)):  # set ops; strings are short
-        sa, sb = set(a.split()), set(b.split())
-        u = len(sa | sb)
-        f[i, 3] = len(sa & sb) / u if u else 1.0
+    f[:, 3] = _batch_token_jaccard(t1, t2)
     la = np.fromiter((len(s) for s in t1), dtype=np.float64, count=n)
     lb = np.fromiter((len(s) for s in t2), dtype=np.float64, count=n)
     f[:, 4] = np.minimum(la, lb) / np.maximum(np.maximum(la, lb), 1.0)

@@ -59,6 +59,10 @@ def block_self_join_pairs(
 
     * ``"truncate"`` (default): keep the first ``limit`` members by id —
       lossy but bounded, right for heuristic blocking families;
+    * ``"skip"``: drop oversized blocks entirely — the reference's own
+      behavior for its capped comparison loops (semantic_matching.py:
+      214-216 skips blocks over the cap rather than sampling them). Use
+      when the operator's contract says "blocks above N are not scored";
     * ``"error"``: raise at execution time (``assert_true``) instead of
       silently dropping members. Callers that advertise a recall
       guarantee (e.g. the tuned-RHP embedding path) MUST use this so the
@@ -86,6 +90,8 @@ def block_self_join_pairs(
                 ),
             ).isNull()
         )
+    elif on_oversize == "skip":
+        sized = sized.filter(F.col("_bn") <= block_size_limit)
     else:
         sized = sized.withColumn(
             "_rn", F.row_number().over(w.orderBy(id_col))

@@ -1,0 +1,143 @@
+"""Round-4 pins: ADVICE fixes (blend skip semantics, auto-route cost
+guard, social-handle empty filter) + kernel vectorization parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# semantic blend: oversized blocks are SKIPPED, not truncated
+# ---------------------------------------------------------------------------
+
+
+def test_blend_skips_oversized_blocks(spark):
+    from entity_deduplication_spark.operators.fuzzy import semantic_blend_pairs
+
+    # block "big" has 5 members (> limit 3) -> skipped entirely, like the
+    # reference (semantic_matching.py:214-216); block "small" has 2
+    rows = []
+    for i in range(5):
+        rows.append((i, "alpha beta", [1.0, 0.0], "big"))
+    rows.append((10, "gamma delta", [0.0, 1.0], "small"))
+    rows.append((11, "gamma delta", [0.0, 1.0], "small"))
+    df = spark.createDataFrame(
+        rows, "id long, txt string, vec array<double>, src string"
+    )
+    out = semantic_blend_pairs(
+        df,
+        "id",
+        "txt",
+        "vec",
+        block_key=F.col("src"),
+        threshold=0.1,
+        block_size_limit=3,
+    ).collect()
+    ids = {(r["id1"], r["id2"]) for r in out}
+    assert ids == {(10, 11)}  # nothing from the oversized block
+
+
+def test_block_self_join_skip_mode(spark):
+    from entity_deduplication_spark.operators.pairs import block_self_join_pairs
+
+    keyed = spark.createDataFrame(
+        [(f"c{i}", "hot") for i in range(6)] + [("x", "ok"), ("y", "ok")],
+        "clip_id string, block_key string",
+    )
+    out = block_self_join_pairs(
+        keyed, ["block_key"], block_size_limit=4, on_oversize="skip"
+    ).collect()
+    assert {(r["id1"], r["id2"]) for r in out} == {("x", "y")}
+
+
+# ---------------------------------------------------------------------------
+# embedding auto-route: decision uses the SAME n-aware tuning as execution
+# ---------------------------------------------------------------------------
+
+
+def test_auto_route_is_consistent_with_execution_tuning():
+    from entity_deduplication_spark.operators.ann import tune_rhp_bands
+
+    # the executed-model guard: LSH only when r >= 4 AND b < 2^(r-1)
+    # (collision-verify work below exact all-pairs). Low threshold: b
+    # blows up past the guard -> exact; near-dup threshold: LSH.
+    r_lo, b_lo = tune_rhp_bands(0.3, 1e-9, n_rows=10_000)
+    assert not (r_lo >= 4 and b_lo < 2 ** (r_lo - 1))
+    r_hi, b_hi = tune_rhp_bands(0.9, 1e-9, n_rows=10_000)
+    assert r_hi >= 4 and b_hi < 2 ** (r_hi - 1)
+
+
+def test_auto_route_high_threshold_takes_lsh_plan(spark):
+    from entity_deduplication_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # force the corpus-size the tuner sees so the route is deterministic
+    auto = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.9, method="auto", n_rows=10_000
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # band-bucket block-size window = LSH path
+
+
+# ---------------------------------------------------------------------------
+# token-jaccard vectorization parity with the per-row set oracle
+# ---------------------------------------------------------------------------
+
+
+def test_batch_token_jaccard_matches_set_oracle():
+    from entity_deduplication_spark.operators.ml import _batch_token_jaccard
+
+    rng = np.random.default_rng(3)
+    words = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    t1, t2 = [], []
+    for _ in range(200):
+        t1.append(" ".join(rng.choice(words, rng.integers(0, 5))))
+        t2.append(" ".join(rng.choice(words, rng.integers(0, 5))))
+    t1 += ["", "", "ab ab cd"]
+    t2 += ["", "ab", "cd ab"]
+    got = _batch_token_jaccard(t1, t2)
+    for i, (a, b) in enumerate(zip(t1, t2)):
+        sa, sb = set(a.split()), set(b.split())
+        u = len(sa | sb)
+        want = len(sa & sb) / u if u else 1.0
+        assert got[i] == pytest.approx(want), (i, a, b)
+
+
+# ---------------------------------------------------------------------------
+# social handle: path-less URL semantics + empty-handle filter in driver
+# ---------------------------------------------------------------------------
+
+
+def test_social_handle_pathless_url_yields_domain(spark):
+    from entity_deduplication_spark.functions.text import social_handle
+
+    df = spark.createDataFrame(
+        [
+            ("https://Example.com", "example.com"),  # scheme '//' -> host
+            ("no-slash-at-all", ""),
+            (None, ""),
+            ("https://social.example/src1/UserX/?ref=feed", "userx"),
+        ],
+        "url string, want string",
+    )
+    got = df.select(
+        social_handle(F.col("url")).alias("h"), "want"
+    ).collect()
+    for r in got:
+        assert r["h"] == r["want"], r
+
+
+def test_driver_social_handle_query_has_no_empty_block(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["social_handle_pairs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.filter(F.col("handle") == "").count() == 0
