@@ -62,7 +62,20 @@ def _minhash_batch(shingle_lists: pd.Series, a: np.ndarray, b: np.ndarray) -> pd
     _MERSENNE note), then ``np.minimum.reduceat`` segment-mins — no per-row
     python, no fresh large allocations."""
     k = len(a)
-    arrs = [np.asarray(s, dtype=np.uint64) for s in shingle_lists]
+    # zero-copy fast path: int64 ndarrays (Arrow columns, upstream
+    # kernels) reinterpret as uint64 views; only plain lists pay a
+    # conversion (the per-row asarray-from-list was ~90% of this
+    # function's time before the callers switched to arrays)
+    arrs = [
+        s.view(np.uint64)
+        if isinstance(s, np.ndarray) and s.dtype == np.int64
+        else (
+            s
+            if isinstance(s, np.ndarray) and s.dtype == np.uint64
+            else np.asarray(s, dtype=np.uint64)
+        )
+        for s in shingle_lists
+    ]
     lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
     n = len(arrs)
     out = np.full((n, k), -1, dtype=np.int64)
