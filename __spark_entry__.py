@@ -604,6 +604,32 @@ def q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pairs_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-exact core tiers of R4 training-pair generation (reference
+    ml_based.py:242-298): the pos_key tier (strong-key chain positives)
+    and the neg tier (aligned-bucket cross-key negatives) with
+    ``hash_mode="arith"`` so DuckDB reproduces the shuffle hash exactly.
+    The fuzzy tiers are disjoint from these by construction here —
+    group_key is the 3-char text prefix, which fuzzy pairs must SHARE
+    and negatives must DIFFER on, and pos_key pairs share the full-text
+    md5 so they can never be negatives — so filtering tier after the
+    operator's cross-tier dedup loses nothing SQL-visible."""
+    from entity_deduplication_spark.operators.ml import generate_training_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = generate_training_pairs(
+        docs,
+        "doc_id",
+        "text",
+        strong_key=F.md5(F.col("text")),
+        group_key=F.substring(F.col("text"), 1, 3),
+        hash_mode="arith",
+    )
+    return out.filter(F.col("tier").isin("pos_key", "neg")).select(
+        "id1", "id2", "label", "tier"
+    )
+
+
 def q_mlp_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch 1-hidden-layer MLP pair scorer (reference V8,
     deep_learning.py:115-187 feedforward net): distributed features,
@@ -762,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_pair_scores": q_ml_pair_scores,  # rows-only
         "mlp_pair_scores": q_mlp_pair_scores,  # rows-only
         "training_pairs": q_training_pairs,  # rows-only
+        "training_pairs_core": q_training_pairs_core,
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1229,6 +1256,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.p_partkey AS id1, b.p_partkey AS id2, a.anagram_key
             FROM k a JOIN k b ON a.anagram_key = b.anagram_key
                               AND a.p_partkey < b.p_partkey
+        """,
+        "training_pairs_core": """
+            -- R4 core tiers with the arith shuffle hash
+            -- h(id, salt) = (id*2654435761 + salt*97) % 2147483647,
+            -- seed 42 -> salts 4074 (order/bucket) and 4171 (neg order);
+            -- per_block_pairs=5, nb=64 buckets, per_bucket=ceil(2000/64)=32
+            WITH base AS (
+              SELECT doc_id AS id, coalesce(text, '') AS txt,
+                     md5(text) AS sk,
+                     substr(coalesce(text, ''), 1, 3) AS pf
+              FROM documents
+            ), k AS (
+              SELECT id, sk,
+                     row_number() OVER w AS rn,
+                     lead(id) OVER w AS nxt
+              FROM base WHERE sk IS NOT NULL AND sk <> ''
+              WINDOW w AS (PARTITION BY sk
+                           ORDER BY (id * 2654435761 + 4074) % 2147483647, id)
+            ), pos AS (
+              SELECT least(id, nxt) AS id1, greatest(id, nxt) AS id2,
+                     1 AS label, 'pos_key' AS tier
+              FROM k WHERE nxt IS NOT NULL AND rn <= 5
+            ), b AS (
+              SELECT id, sk, pf,
+                     ((id * 2654435761 + 4074) % 2147483647) % 64 AS bkt,
+                     row_number() OVER (
+                       PARTITION BY ((id * 2654435761 + 4074) % 2147483647) % 64
+                       ORDER BY (id * 2654435761 + 4171) % 2147483647, id
+                     ) AS rn
+              FROM base
+            ), bb AS (
+              SELECT * FROM b WHERE rn <= 32
+            ), neg AS (
+              SELECT least(a.id, c.id) AS id1, greatest(a.id, c.id) AS id2,
+                     0 AS label, 'neg' AS tier
+              FROM bb a JOIN bb c
+                ON ((c.bkt - 1 + 64) % 64) = a.bkt AND a.rn = c.rn
+              WHERE a.id <> c.id
+                AND a.sk IS DISTINCT FROM c.sk
+                AND a.pf <> c.pf
+            )
+            SELECT * FROM pos UNION ALL SELECT * FROM neg
         """,
         "stoplist_block_stats": """
             SELECT source, lang, count(*) AS n_ids,

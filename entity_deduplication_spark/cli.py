@@ -36,6 +36,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-run-chars", type=int, default=20)
     p.add_argument("--cores", type=int, default=None,
                    help="local-mode parallelism (ignored under a cluster master)")
+    p.add_argument("--stream-ingest", action="store_true",
+                   help="treat --input as a streaming clips directory: drain "
+                        "the current backlog (availableNow) into an append-only "
+                        "<output>/signatures table, then batch re-cluster the "
+                        "ACCUMULATED signatures — re-invoking after new files "
+                        "arrive ingests only the delta and re-clusters globally")
     return p.parse_args(argv)
 
 
@@ -58,11 +64,23 @@ def main(argv: list[str] | None = None) -> int:
         min_run_chars=args.min_run_chars,
         checkpoint_dir=args.checkpoint_dir,
     )
-    clips = spark.read.parquet(args.input)
-
     t0 = time.time()
     pipe = DedupPipeline(spark, cfg, checkpoint_dir=args.checkpoint_dir)
-    res = pipe.run(clips, resume=args.resume)
+    if args.stream_ingest:
+        from entity_deduplication_spark.streaming.ingest import stream_signatures
+
+        sig_dir = f"{args.output}/signatures"
+        stream_ckpt = f"{args.checkpoint_dir or args.output}/_stream"
+        q = stream_signatures(spark, args.input, sig_dir, stream_ckpt, cfg)
+        q.awaitTermination()
+        # global re-cluster over ALL accumulated signatures (append-only
+        # contract: each drain adds signature rows; clustering is a global
+        # batch recompute — see streaming.ingest module docstring)
+        sig = spark.read.parquet(sig_dir)
+        res = pipe.run_from_signatures(sig, resume=False)
+    else:
+        clips = spark.read.parquet(args.input)
+        res = pipe.run(clips, resume=args.resume)
 
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.canonical.drop("record_ids").write.mode("overwrite").parquet(

@@ -263,6 +263,7 @@ def generate_training_pairs(
     hi_sim: float = 90.0,
     challenge_band: tuple[float, float] = (60.0, 80.0),
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id1, id2, label, tier) labeled training pairs, three tiers
     mirroring the reference's pos/neg/challenging strategies
@@ -288,10 +289,26 @@ def generate_training_pairs(
 
     Everything is deterministic (seeded hashes, no RNG) and every stage
     is a bounded window/join — no driver-side loops or collects.
+
+    ``hash_mode`` picks the shuffle hash for the block ordering and the
+    negative-tier bucketing: ``"xxhash64"`` (default, the scale path) or
+    ``"arith"`` — a Knuth multiplicative hash ``(id*2654435761 +
+    salt*97) mod (2^31-1)`` over numeric-castable ids that ANSI SQL can
+    reproduce exactly, making the pos_key and neg tiers DuckDB-oracle-
+    checkable (the challenging tier's label parity stays xxhash64 and
+    stays rows-only).
     """
     from entity_deduplication_spark.functions.fuzzy import (
         token_sort_ratio_udf,
     )
+
+    def _shash(col, salt: int):
+        if hash_mode == "arith":
+            return F.pmod(
+                col.cast("bigint") * F.lit(2654435761) + F.lit(salt * 97),
+                F.lit(2147483647),
+            )
+        return F.xxhash64(col, F.lit(salt))
 
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -302,7 +319,7 @@ def generate_training_pairs(
 
     # --- tier 1: strong-key positives (chain pairs, capped per block)
     wk = Window.partitionBy("_sk").orderBy(
-        F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id")
+        _shash(F.col("_id"), seed), F.col("_id")
     )
     keyed = base.filter(
         F.col("_sk").isNotNull() & (F.length("_sk") > 0)
@@ -373,11 +390,11 @@ def generate_training_pairs(
     nb = 64
     per_bucket = max(1, -(-neg_pairs // nb))  # ceil
     bw = Window.partitionBy("_bkt").orderBy(
-        F.xxhash64(F.col("_id"), F.lit(seed + 1)), F.col("_id")
+        _shash(F.col("_id"), seed + 1), F.col("_id")
     )
     bucketed = (
         base.withColumn(
-            "_bkt", F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(nb))
+            "_bkt", F.pmod(_shash(F.col("_id"), seed), F.lit(nb))
         )
         .withColumn("_rn", F.row_number().over(bw))
         .filter(F.col("_rn") <= per_bucket)

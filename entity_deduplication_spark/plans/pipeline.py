@@ -226,6 +226,19 @@ class DedupPipeline:
             lambda: build_signatures(src, cfg),
             resume=resume,
         )
+        return self.run_from_signatures(sig, resume=resume)
+
+    def run_from_signatures(
+        self, sig: DataFrame, resume: bool = True
+    ) -> DedupResult:
+        """Block/verify/cluster an already-built signatures table.
+
+        This is the batch re-cluster half of the streaming contract
+        (streaming.ingest appends signatures incrementally; global
+        re-clustering stays batch) and the resume path for a pipeline
+        whose signature stage is checkpointed elsewhere.
+        """
+        cfg = self.cfg
         cand = self.ckpt.get_or_compute(
             "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
         )

@@ -134,6 +134,41 @@ def test_social_handle_pathless_url_yields_domain(spark):
         assert r["h"] == r["want"], r
 
 
+def test_run_from_signatures_matches_run(spark):
+    """The streaming re-cluster entry point (signatures table in, no
+    signature stage) yields the identical clusters as the batch run —
+    the append-only streaming contract's batch half."""
+    from entity_deduplication_spark.config import DedupConfig
+    from entity_deduplication_spark.datagen import ensure_clips_parquet
+    from entity_deduplication_spark.plans.pipeline import DedupPipeline
+
+    clips_path, _ = ensure_clips_parquet(400)
+    clips = spark.read.parquet(clips_path)
+    cfg = DedupConfig()
+    full = DedupPipeline(spark, cfg).run(clips, resume=False)
+    from_sig = DedupPipeline(spark, cfg).run_from_signatures(
+        full.signatures, resume=False
+    )
+    a = {(r["clip_id"], r["cluster_id"]) for r in full.clusters.collect()}
+    b = {(r["clip_id"], r["cluster_id"]) for r in from_sig.clusters.collect()}
+    assert a == b and len(a) == 400
+
+
+def test_training_pairs_core_tiers_disjoint_and_labeled(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["training_pairs_core"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    tiers = {r["tier"] for r in rows}
+    assert tiers <= {"pos_key", "neg"} and len(rows) > 0
+    assert all(
+        (r["label"] == 1) == (r["tier"] == "pos_key") for r in rows
+    )
+    assert len({(r["id1"], r["id2"]) for r in rows}) == len(rows)
+
+
 def test_driver_social_handle_query_has_no_empty_block(spark):
     import __spark_entry__ as entry_mod
 
