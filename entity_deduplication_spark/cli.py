@@ -36,6 +36,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-run-chars", type=int, default=20)
     p.add_argument("--cores", type=int, default=None,
                    help="local-mode parallelism (ignored under a cluster master)")
+    p.add_argument("--report", action="store_true",
+                   help="write <output>/report.svg (cluster-size histogram + "
+                        "run metrics — the reference's comparison charts as a "
+                        "dependency-free SVG sink)")
     p.add_argument("--stream-ingest", action="store_true",
                    help="treat --input as a streaming clips directory: drain "
                         "the current backlog (availableNow) into an append-only "
@@ -86,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     res.canonical.drop("record_ids").write.mode("overwrite").parquet(
         f"{args.output}/canonical"
     )
+    if args.report:
+        from entity_deduplication_spark.sources.viz import write_cluster_report
+
+        write_cluster_report(
+            res.clusters, res.metrics, f"{args.output}/report.svg"
+        )
     metrics = {r: v for r, v in zip(res.metrics.columns, res.metrics.first())}
     metrics["wall_seconds"] = round(time.time() - t0, 2)
     print(json.dumps(metrics, default=str))

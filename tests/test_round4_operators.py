@@ -169,6 +169,34 @@ def test_training_pairs_core_tiers_disjoint_and_labeled(spark):
     assert len({(r["id1"], r["id2"]) for r in rows}) == len(rows)
 
 
+def test_viz_report_svg_structure(spark, tmp_path):
+    """S6 viz sink: bounded-aggregate SVG report — one bar per histogram
+    bucket in ordinal order, metrics caption present, valid XML."""
+    import xml.etree.ElementTree as ET
+
+    from entity_deduplication_spark.sources.viz import write_cluster_report
+
+    clusters = spark.createDataFrame(
+        [(f"c{i}", f"k{i % 7}") for i in range(20)],
+        "clip_id string, cluster_id string",
+    )
+    from entity_deduplication_spark.operators.stats import dedup_metrics
+
+    path = str(tmp_path / "report.svg")
+    write_cluster_report(clusters, dedup_metrics(clusters), path)
+    root = ET.parse(path).getroot()
+    bars = [
+        el
+        for el in root.iter("{http://www.w3.org/2000/svg}path")
+        if el.get("class") == "bar"
+    ]
+    # 20 members over 7 clusters -> sizes 3,3,3,3,3,3,2 -> bins "2","3-5"
+    assert [b.get("data-size") for b in bars] == ["2", "3-5"]
+    assert [b.get("data-count") for b in bars] == ["1", "6"]
+    text = open(path).read()
+    assert "20 records" in text and "7 entities" in text
+
+
 def test_driver_social_handle_query_has_no_empty_block(spark):
     import __spark_entry__ as entry_mod
 

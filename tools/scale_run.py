@@ -1,0 +1,162 @@
+"""One 10x-scale validation run of the flagship pipeline (~800k clips).
+
+All routine scale claims are plan audits + 96k-clip measurements; this
+tool runs the full audio dedup pipeline ONCE at ~10x that size to catch
+any constant that grows with n (CC iteration count, band-table size,
+checkpoint I/O, driver-side state). It
+
+1. materializes N_CLIPS as independent chunk parquet files (parallel
+   worker processes — one 32 GB pandas frame would not fit a driver),
+   each chunk with its own planted duplicate structure;
+2. runs DedupPipeline over the whole directory at local[CORES] with the
+   occupancy/tree-CPU collector from tools/scaling_bench.py;
+3. appends the result to BENCH/SCALE_r04.json and prints one JSON line.
+
+Usage: python tools/scale_run.py [n_clips] [cores]
+(defaults 800_000 and $SPARK_GRAFT_CPUS or 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+CHUNK = 50_000
+
+
+def _gen_chunk(args: tuple[str, int, int]) -> str:
+    path, n, seed = args
+    if os.path.exists(path):
+        return path
+    from entity_deduplication_spark.datagen import generate_clips
+
+    clips, _ = generate_clips(n, seed=seed)
+    tmp = path + ".tmp"
+    clips.to_parquet(tmp, index=False, row_group_size=2048)
+    os.rename(tmp, path)
+    return path
+
+
+def ensure_chunks(data_dir: str, n_clips: int) -> str:
+    import concurrent.futures as cf
+
+    os.makedirs(data_dir, exist_ok=True)
+    n_chunks = -(-n_clips // CHUNK)
+    jobs = [
+        (
+            os.path.join(data_dir, f"chunk_{i:03d}.parquet"),
+            min(CHUNK, n_clips - i * CHUNK),
+            1000 + i,
+        )
+        for i in range(n_chunks)
+    ]
+    todo = [j for j in jobs if not os.path.exists(j[0])]
+    if todo:
+        t0 = time.time()
+        with cf.ProcessPoolExecutor(max_workers=6) as ex:
+            for i, _ in enumerate(ex.map(_gen_chunk, todo)):
+                print(
+                    f"datagen {i + 1}/{len(todo)} chunks "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+    return data_dir
+
+
+def stage_run_ms(sc) -> float:
+    url = (
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        "/stages?status=complete"
+    )
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return float(sum(s.get("executorRunTime", 0) for s in json.load(r)))
+
+
+def tree_cpu_s() -> float:
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, int] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        p = int(pid)
+        ppid_of[p] = int(rest[1])
+        cpu_of[p] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    total = 0
+    for p in cpu_of:
+        q, seen = p, set()
+        while q > 1 and q not in seen:
+            if q == me:
+                total += cpu_of[p]
+                break
+            seen.add(q)
+            q = ppid_of.get(q, 0)
+    return total / hz
+
+
+def main() -> None:
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    cores = (
+        int(sys.argv[2])
+        if len(sys.argv) > 2
+        else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    data_dir = f"/root/repo/.data/scale_{n_clips}"
+    ensure_chunks(data_dir, n_clips)
+
+    from entity_deduplication_spark.plans.pipeline import DedupPipeline
+    from entity_deduplication_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale-run-{n_clips}",
+        cores=cores,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
+    sc = spark.sparkContext
+    clips = spark.read.parquet(data_dir)
+
+    run0 = stage_run_ms(sc)
+    tree0 = tree_cpu_s()
+    t0 = time.time()
+    res = DedupPipeline(spark).run(clips)
+    res.clusters.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    tree = tree_cpu_s() - tree0
+    run_s = (stage_run_ms(sc) - run0) / 1e3
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+
+    out = {
+        "n_clips": n_clips,
+        "cores": cores,
+        "wall_s": round(wall, 1),
+        "clips_per_sec": round(n_clips / wall, 1),
+        "occupancy": round(run_s / (wall * cores), 3),
+        "tree_cpu_s": round(tree, 1),
+        "cpu_per_clip_ms": round(1000.0 * tree / n_clips, 2),
+        "n_clusters": n_clusters,
+    }
+    path = "/root/repo/BENCH/SCALE_r04.json"
+    hist = []
+    if os.path.exists(path):
+        with open(path) as f:
+            hist = json.load(f)
+    hist.append(out)
+    with open(path, "w") as f:
+        json.dump(hist, f, indent=1)
+    print("RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
