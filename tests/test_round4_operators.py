@@ -197,6 +197,85 @@ def test_viz_report_svg_structure(spark, tmp_path):
     assert "20 records" in text and "7 entities" in text
 
 
+def test_minhash_lsh_clusters_match_driver_side_oracle(spark):
+    """Config-pinned EXACT oracle for the MinHash-LSH dedup composition:
+    with (minhash_k, seed, bands, rows, threshold) fixed, the candidate
+    set and therefore the clusters are deterministic. The oracle
+    recomputes minhash with pure-Python modular arithmetic (independent
+    of the numpy scratch-buffer kernel), bands by r-tuple equality,
+    verifies with exact set Jaccard, and clusters with union-find —
+    cluster assignments must match the Spark operator EXACTLY, not just
+    at recall level."""
+    from entity_deduplication_spark.config import DedupConfig
+    from entity_deduplication_spark.functions.hashing import _hash_params
+    from entity_deduplication_spark.functions.text import word_shingles
+    from entity_deduplication_spark.operators.dedup import minhash_lsh_dedup
+
+    cfg = DedupConfig()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_lsh_dedup(docs, "doc_id", "text").collect()
+    }
+
+    # shingle arrays come from the same pure-Catalyst expression (they
+    # are the operator's INPUT; the oracle covers everything after)
+    sh = {
+        r["doc_id"]: list(r["s"])
+        for r in docs.select(
+            "doc_id", word_shingles(F.col("text"), cfg.shingle_k).alias("s")
+        ).collect()
+    }
+    a_par, b_par = _hash_params(cfg.minhash_k, cfg.minhash_seed)
+    M61 = (1 << 61) - 1
+    M64 = 1 << 64
+
+    def minhash(shingles: list[int]) -> list[int]:
+        out = []
+        for ai, bi in zip(a_par.tolist(), b_par.tolist()):
+            best = None
+            for x in shingles:
+                t = (ai * (x & (M64 - 1)) + bi) % M64
+                u = (t & M61) + (t >> 61)
+                v = u - M61 if u >= M61 else u
+                best = v if best is None or v < best else best
+            out.append(best)
+        return out
+
+    mh = {i: minhash(s) for i, s in sh.items()}
+    r, b = cfg.lsh_rows, cfg.lsh_bands
+    buckets: dict = {}
+    for i, m in mh.items():
+        for bi in range(b):
+            buckets.setdefault(
+                (bi, tuple(m[bi * r : (bi + 1) * r])), []
+            ).append(i)
+    cand = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                p = (min(members[x], members[y]), max(members[x], members[y]))
+                cand.add(p)
+    parent = {i: i for i in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in cand:
+        si, sj = set(sh[i]), set(sh[j])
+        jac = len(si & sj) / len(si | sj) if si | sj else 1.0
+        if jac >= cfg.jaccard_threshold:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    want = {i: min(m for m in sh if find(m) == find(i)) for i in sh}
+    assert got == want
+    assert len(set(want.values())) < len(want)  # some real merges happened
+
+
 def test_driver_social_handle_query_has_no_empty_block(spark):
     import __spark_entry__ as entry_mod
 
