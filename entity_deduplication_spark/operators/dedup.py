@@ -147,7 +147,10 @@ def minhash_lsh_dedup(
     sig = sig.withColumn(
         "minhash", minhash_udf(cfg.minhash_k, cfg.minhash_seed)(F.col("shingles"))
     ).withColumn("bands", band_keys(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows))
-    sig = sig.persist()
+    # localCheckpoint, not persist: sig feeds the banding branch, two
+    # feature joins, and the CC node table — one materialization, no
+    # session-lifetime CacheManager entry left behind
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "clip_id", F.posexplode("bands").alias("band_idx", "band_key")
     )
@@ -183,7 +186,9 @@ def simhash_pairs(
     sig = df.select(
         F.col(id_col).alias("clip_id"),
         word_shingles(F.col(text_col), cfg.shingle_k).alias("shingles"),
-    ).withColumn("simhash", simhash_udf(F.col("shingles"))).persist()
+    ).withColumn("simhash", simhash_udf(F.col("shingles")))
+    # localCheckpoint, not persist (CacheManager-leak rationale above)
+    sig = sig.localCheckpoint(eager=True)
     cand = simhash_block_pairs(sig, cfg)
     feat = cand.join(
         sig.select(F.col("clip_id").alias("id1"), F.col("simhash").alias("h1")), "id1"
@@ -265,7 +270,10 @@ def embedding_cosine_pairs(
         return _embedding_pairs_grid(
             df, id_col, vec_col, threshold, grid_chunks
         )
-    keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).persist()
+    # localCheckpoint, not persist (same CacheManager-leak rationale)
+    keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).localCheckpoint(
+        eager=True
+    )
     banded = keyed.select(
         F.col(id_col).alias("clip_id"),
         F.posexplode("band_keys").alias("band_idx", "band_key"),

@@ -48,7 +48,9 @@ def split_oversized_clusters(
         edges.join(big_nodes.withColumnRenamed(node_id, "id1"), "id1")
         .join(big_nodes.withColumnRenamed(node_id, "id2"), "id2")
         .select("id1", "id2", "score")
-        .persist()
+        # localCheckpoint, not persist: consumed once per ladder rung,
+        # with no unpersist point before return (CacheManager leak)
+        .localCheckpoint(eager=True)
     )
     result = None
     for thr in _THRESHOLD_LADDER:
