@@ -34,6 +34,13 @@ def get_spark(
     # workers inherit it; spark.executorEnv carries it on a real cluster.
     for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(var, str(1 << 29))
+    # pyarrow's bundled jemalloc returns pages to the OS aggressively
+    # (MADV_FREE decay), so every Arrow batch re-faults its buffers —
+    # ruinous on this host's slow, contended fault path (90% system time,
+    # ~31k minor faults/s observed in a wide scan; measured 1.8x slower
+    # than glibc at local[32]). The "system" pool routes Arrow through
+    # glibc malloc, which the thresholds above already tame.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -69,6 +76,10 @@ def get_spark(
         .config(
             "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
             os.environ["MALLOC_TRIM_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+            os.environ["ARROW_DEFAULT_MEMORY_POOL"],
         )
     )
     for k, v in (extra_conf or {}).items():

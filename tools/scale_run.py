@@ -42,7 +42,10 @@ def _gen_chunk(args: tuple[str, int, int]) -> str:
     return path
 
 
-def ensure_chunks(data_dir: str, n_clips: int) -> str:
+def ensure_chunks(data_dir: str, n_clips: int) -> list[str]:
+    """Materialize the chunk files covering ``n_clips`` and return their
+    paths — a shared chunk directory serves any run size that is a
+    multiple of CHUNK (the reader takes an explicit file list)."""
     import concurrent.futures as cf
 
     os.makedirs(data_dir, exist_ok=True)
@@ -65,7 +68,7 @@ def ensure_chunks(data_dir: str, n_clips: int) -> str:
                     f"({time.time() - t0:.0f}s)",
                     flush=True,
                 )
-    return data_dir
+    return [j[0] for j in jobs]
 
 
 def stage_run_ms(sc) -> float:
@@ -112,8 +115,10 @@ def main() -> None:
         if len(sys.argv) > 2
         else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
-    data_dir = f"/root/repo/.data/scale_{n_clips}"
-    ensure_chunks(data_dir, n_clips)
+    # shared chunk cache: any run size reads the prefix of chunk files
+    # it needs (last chunk may be partial only for non-multiples of CHUNK)
+    data_dir = "/root/repo/.data/scale_800000"
+    chunk_paths = ensure_chunks(data_dir, n_clips)
 
     from entity_deduplication_spark.plans.pipeline import DedupPipeline
     from entity_deduplication_spark.session import get_spark
@@ -124,7 +129,7 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
     )
     sc = spark.sparkContext
-    clips = spark.read.parquet(data_dir)
+    clips = spark.read.parquet(*chunk_paths)
 
     run0 = stage_run_ms(sc)
     tree0 = tree_cpu_s()
