@@ -655,10 +655,12 @@ def q_mlp_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
         )
     )
-    feat = pair_features(feat).localCheckpoint(eager=True)
-    # localCheckpoint, not persist: feat is consumed twice (driver-side
-    # fit + distributed scoring) and a bare persist leaks a
-    # session-lifetime CacheManager entry
+    from entity_deduplication_spark.sources.io import aqe_local_checkpoint
+
+    # one AQE-planned materialization for the two consumers (driver-side
+    # fit + distributed scoring): no cache leak, and the join plan never
+    # executes through the non-adaptive RDD-checkpoint path
+    feat = aqe_local_checkpoint(pair_features(feat))
     labeled = feat.withColumn("label", (F.col("jaccard") >= 0.5).cast("double"))
     params = train_mlp_scorer(labeled)
     return score_with_mlp(feat, params).select("id1", "id2", "mlp_score")
@@ -720,10 +722,12 @@ def q_ml_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id2",
         )
     )
-    feat = pair_features(feat).localCheckpoint(eager=True)
-    # localCheckpoint, not persist: feat is consumed twice (driver-side
-    # fit + distributed scoring) and a bare persist leaks a
-    # session-lifetime CacheManager entry
+    from entity_deduplication_spark.sources.io import aqe_local_checkpoint
+
+    # one AQE-planned materialization for the two consumers (driver-side
+    # fit + distributed scoring): no cache leak, and the join plan never
+    # executes through the non-adaptive RDD-checkpoint path
+    feat = aqe_local_checkpoint(pair_features(feat))
     labeled = feat.withColumn(
         "label", (F.col("jaccard") >= 0.5).cast("double")
     )

@@ -126,13 +126,25 @@ def connected_components(
     round costs. The rounds between checks chain as lazy localCheckpoints
     inside ONE job.
     """
-    e = (
+    from pyspark import StorageLevel
+
+    # Materialize the (possibly very heavy) upstream edge plan through a
+    # normal SQL action FIRST, then checkpoint from the cache. The
+    # RDD/localCheckpoint path compiles the plan WITHOUT adaptive
+    # execution — no runtime broadcast demotion, no coalescing — and on
+    # a big verify plan that non-AQE execution wrote tens of GB of
+    # shuffle where the AQE plan needs a fraction of it (measured at
+    # 300k clips: the same candidate plan counted in 28 s under AQE but
+    # ran >12 min and spilled the disk full under .localCheckpoint()).
+    base = (
         edges.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev = _signature(e)  # materializes the initial edge set into the ckpt
+    prev = _signature(base)  # AQE execution; fills the cache
+    e = base.localCheckpoint(eager=True)  # copies cached rows, no re-plan
+    base.unpersist()
 
     if 0 < prev[0] <= small_graph_edges:
         labels = _union_find_labels(e, node_id)

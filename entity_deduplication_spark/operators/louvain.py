@@ -167,10 +167,13 @@ def louvain_split_oversized(
 
     # giant-component guard: count edges per component FIRST; components
     # above the cap never reach the single-task kernel.
-    # localCheckpoint (not persist): materializes once for the multiple
-    # consumers below without leaving a session-lifetime CacheManager
-    # entry behind (same rationale as blocking._global_rank).
-    e = e.localCheckpoint(eager=True)
+    # aqe_local_checkpoint (not bare persist/localCheckpoint): one
+    # AQE-planned materialization for the multiple consumers below, no
+    # session-lifetime CacheManager entry, and the join plan above never
+    # executes through the non-adaptive RDD path.
+    from entity_deduplication_spark.sources.io import aqe_local_checkpoint
+
+    e = aqe_local_checkpoint(e)
     giant_ids = (
         e.groupBy("_grp")
         .agg(F.count(F.lit(1)).alias("_ne"))

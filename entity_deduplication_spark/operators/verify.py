@@ -100,6 +100,28 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     # happen in the plan shape, not the expression (two-phase verify).
     if "transcript_norm_1" in feat.columns:
         from entity_deduplication_spark.operators.suffix import run_verify_udf
+        from entity_deduplication_spark.sources.io import aqe_local_checkpoint
+
+        # Slim + materialize BEFORE the easy/hard split: a union's two
+        # branches each re-evaluate their common input subtree, so with
+        # the array payloads still attached the split would run the
+        # whole broadcast-join + array-jaccard pipeline TWICE per pair
+        # (measured as ~2x verify CPU at 300k clips — the plan showed 8
+        # BroadcastHashJoins where the single-pass plan has 4). The
+        # evidence scalars + transcripts are ~500 B/pair; the shingle
+        # arrays never cross this boundary.
+        scored = aqe_local_checkpoint(
+            scored.select(
+                "id1",
+                "id2",
+                "transcript_jaccard",
+                "audio_jaccard",
+                "simhash_sim",
+                "is_exact",
+                "transcript_norm_1",
+                "transcript_norm_2",
+            )
+        )
 
         # total split: coalesce(..., False) guarantees every candidate row
         # lands in exactly one branch even if an evidence column is NULL

@@ -156,12 +156,18 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         .unionByName(sim_banded)
         .unionByName(fp_banded)
     )
+    # on_oversize="skip": saturated band buckets are dropped outright
+    # (see DedupConfig.band_bucket_cap) — truncation would still emit
+    # C(cap, 2) pairs per degenerate bucket, which is super-linear on
+    # low-entropy payloads and exactly what a 1000-executor run cannot
+    # afford in its verify shuffle
     return block_self_join_pairs(
         unified,
         key_cols=["src", "band_idx", "band_key"],
         id_col="clip_id",
-        block_size_limit=cfg.block_size_limit,
+        block_size_limit=cfg.band_bucket_cap,
         salt_buckets=cfg.salt_buckets,
+        on_oversize="skip",
     )
 
 

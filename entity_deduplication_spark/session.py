@@ -68,6 +68,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # zstd roughly halves shuffle bytes vs lz4 on the array-heavy
+        # verify joins — disk (spill capacity) is the binding resource
+        # for wide shuffles both here and on real clusters
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
             "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",

@@ -37,6 +37,30 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     writer.parquet(path)
 
 
+def aqe_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that executes the plan under AQE.
+
+    ``DataFrame.localCheckpoint`` compiles through the RDD path, which
+    BYPASSES adaptive execution — no runtime broadcast demotion, no
+    partition coalescing. On a shuffle-heavy plan (joins, windows) that
+    non-adaptive execution can write orders of magnitude more shuffle
+    than the AQE plan (measured: a candidate-pair plan that counts in
+    28 s under AQE spilled a disk full under a bare localCheckpoint).
+    Materializing into a persist cache with a normal SQL action first
+    makes the checkpoint a cheap cache scan; the unpersist leaves no
+    session-lifetime CacheManager entry. Use this for any checkpoint
+    whose plan contains an exchange; a bare ``localCheckpoint`` is fine
+    for narrow (scan + UDF/projection) plans.
+    """
+    from pyspark import StorageLevel
+
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -87,10 +111,19 @@ class CheckpointManager:
         if not self.base_dir:
             from pyspark import StorageLevel
 
-            df = compute().persist(StorageLevel.MEMORY_AND_DISK)
             if eager:
-                df.count()
-            return df
+                # AQE-materialized localCheckpoint, NOT a bare persist:
+                # cache matching uses sameResult(), and any consumer
+                # whose reference to this stage gets fresh expression ids
+                # (self-join alias dedup, unionByName remapping) can
+                # NEVER match a cached plan containing nondeterministic
+                # UDFs — it silently recomputes the whole stage from the
+                # source (measured: the edges plan held 58 parquet scans
+                # + 60 ArrowEvalPython nodes for ONE signature stage).
+                # An RDD-backed checkpoint has no UDF subtree to match —
+                # every reference is a block scan.
+                return aqe_local_checkpoint(compute())
+            return compute().persist(StorageLevel.MEMORY_AND_DISK)
         if resume and self.exists(name):
             return self.read(name)
         df = compute()

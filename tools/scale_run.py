@@ -126,7 +126,21 @@ def main() -> None:
     spark = get_spark(
         app_name=f"scale-run-{n_clips}",
         cores=cores,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+        # wide shuffles at this scale: more reduce partitions keep each
+        # task's sort memory-resident (AQE coalesces the small ones)
+        shuffle_partitions=cores * 8,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            # the verify stage joins candidate pairs against the skinny
+            # signature-payload table twice; in local mode (one executor)
+            # broadcasting that dimension (~1.5 GB at 300k clips, well
+            # inside the 48 GB heap) removes BOTH payload exchanges —
+            # the sandbox's single small disk cannot absorb tens of GB
+            # of payload shuffle that a real cluster spreads across
+            # nodes. On a cluster AQE makes this call adaptively.
+            "spark.sql.autoBroadcastJoinThreshold": str(4 << 30),
+        },
     )
     sc = spark.sparkContext
     clips = spark.read.parquet(*chunk_paths)
