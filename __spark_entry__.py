@@ -527,6 +527,32 @@ def q_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_agreement_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible cell of the agreement matrix (exact × ngram)
+    as its own oracled query — the full matrix (q_agreement_matrix)
+    stays rows-only because its MinHash-LSH cells have no SQL oracle,
+    but this cell is pure contingency-table SQL (same construction as
+    clustering_agreement; reference comparison.py:193-231)."""
+    from entity_deduplication_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_clusters,
+    )
+    from entity_deduplication_spark.operators.stats import rand_index
+
+    docs = _t(spark, sf_dir, "documents")
+    a = exact_dedup(docs, "doc_id", F.col("text"))
+    b = ngram_jaccard_clusters(docs, "doc_id", "text", NGRAM_N, NGRAM_THRESHOLD)
+    return rand_index(a, b, id_col="doc_id").select(
+        F.lit("exact").alias("strategy_a"),
+        F.lit("ngram").alias("strategy_b"),
+        "n",
+        "agree_pairs",
+        "total_pairs",
+        "rand_index",
+        "adjusted_rand",
+    )
+
+
 def q_name_suffix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier-suffix blocking pairs (reference B3 phone-suffix recipe
     shape) — thin key_equality_pairs instantiation."""
@@ -781,7 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical + agreement
         "canonical_backfill": q_canonical_backfill,
         "clustering_agreement": q_clustering_agreement,
-        "agreement_matrix": q_agreement_matrix,  # rows-only
+        "agreement_matrix": q_agreement_matrix,  # rows-only (LSH cells)
+        "agreement_matrix_exact": q_agreement_matrix_exact,
         # composite blocking recipes (B3/B4/B5/B11/B16)
         "name_suffix_pairs": q_name_suffix_pairs,
         "anagram_key_pairs": q_anagram_key_pairs,
@@ -826,6 +853,61 @@ jac AS (
   JOIN sizes s2 ON id2 = s2.doc_id
 )
 """
+
+def _agreement_exact_ngram_sql(select_prefix: str) -> str:
+    """Rand/ARI contingency SQL between the exact and ngram clusterings
+    (shared by ``clustering_agreement`` and the agreement matrix's
+    oracled exact x ngram cell; ``select_prefix`` prepends literal
+    strategy-label columns to the final projection)."""
+    return f"""
+            WITH RECURSIVE {_NGRAM_GRAMS_CTE},
+            edges AS (SELECT id1, id2 FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}),
+            sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+            ),
+            labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            assign_b AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cb
+              FROM documents d LEFT JOIN labels l USING (doc_id)
+            ),
+            assign_a AS (
+              SELECT doc_id, CASE WHEN text IS NULL THEN doc_id
+                                  ELSE min(doc_id) OVER (PARTITION BY text) END AS ca
+              FROM documents
+            ),
+            j AS (SELECT ca, cb FROM assign_a JOIN assign_b USING (doc_id)),
+            cont AS (SELECT ca, cb, count(*) AS nij FROM j GROUP BY 1, 2),
+            s AS (
+              SELECT sum(nij::DOUBLE * (nij - 1) / 2)::BIGINT AS ss,
+                     sum(nij)::BIGINT AS n
+              FROM cont
+            ),
+            am AS (SELECT sum(ai::DOUBLE * (ai - 1) / 2)::BIGINT AS sa
+                   FROM (SELECT sum(nij) AS ai FROM cont GROUP BY ca)),
+            bm AS (SELECT sum(bj::DOUBLE * (bj - 1) / 2)::BIGINT AS sb
+                   FROM (SELECT sum(nij) AS bj FROM cont GROUP BY cb)),
+            x AS (
+              SELECT n, ss, sa - ss AS sd, sb - ss AS ds,
+                     (n::DOUBLE * (n - 1) / 2)::BIGINT - sa - sb + ss AS dd,
+                     (n::DOUBLE * (n - 1) / 2)::BIGINT AS total
+              FROM s, am, bm
+            )
+            SELECT {select_prefix}n, (ss + dd)::BIGINT AS agree_pairs,
+                   total AS total_pairs,
+                   round((ss + dd)::DOUBLE / total, 4) AS rand_index,
+                   round(CASE WHEN (ss::DOUBLE + sd) * (sd::DOUBLE + dd)
+                                   + (ss::DOUBLE + ds) * (ds::DOUBLE + dd) = 0
+                              THEN 1.0
+                              ELSE 2.0 * (ss::DOUBLE * dd - sd::DOUBLE * ds) /
+                                   ((ss::DOUBLE + sd) * (sd::DOUBLE + dd)
+                                    + (ss::DOUBLE + ds) * (ds::DOUBLE + dd))
+                         END, 4) AS adjusted_rand
+            FROM x
+        """
+
 
 _NGRAM_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_NGRAM_GRAMS_CTE},
@@ -1170,53 +1252,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN details d USING (cluster_id)
             WHERE w.rn = 1
         """,
-        "clustering_agreement": f"""
-            WITH RECURSIVE {_NGRAM_GRAMS_CTE},
-            edges AS (SELECT id1, id2 FROM jac WHERE jaccard >= {NGRAM_THRESHOLD}),
-            sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
-            reach(a, b) AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
-            ),
-            labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
-            assign_b AS (
-              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cb
-              FROM documents d LEFT JOIN labels l USING (doc_id)
-            ),
-            assign_a AS (
-              SELECT doc_id, CASE WHEN text IS NULL THEN doc_id
-                                  ELSE min(doc_id) OVER (PARTITION BY text) END AS ca
-              FROM documents
-            ),
-            j AS (SELECT ca, cb FROM assign_a JOIN assign_b USING (doc_id)),
-            cont AS (SELECT ca, cb, count(*) AS nij FROM j GROUP BY 1, 2),
-            s AS (
-              SELECT sum(nij::DOUBLE * (nij - 1) / 2)::BIGINT AS ss,
-                     sum(nij)::BIGINT AS n
-              FROM cont
-            ),
-            am AS (SELECT sum(ai::DOUBLE * (ai - 1) / 2)::BIGINT AS sa
-                   FROM (SELECT sum(nij) AS ai FROM cont GROUP BY ca)),
-            bm AS (SELECT sum(bj::DOUBLE * (bj - 1) / 2)::BIGINT AS sb
-                   FROM (SELECT sum(nij) AS bj FROM cont GROUP BY cb)),
-            x AS (
-              SELECT n, ss, sa - ss AS sd, sb - ss AS ds,
-                     (n::DOUBLE * (n - 1) / 2)::BIGINT - sa - sb + ss AS dd,
-                     (n::DOUBLE * (n - 1) / 2)::BIGINT AS total
-              FROM s, am, bm
-            )
-            SELECT n, (ss + dd)::BIGINT AS agree_pairs, total AS total_pairs,
-                   round((ss + dd)::DOUBLE / total, 4) AS rand_index,
-                   round(CASE WHEN (ss::DOUBLE + sd) * (sd::DOUBLE + dd)
-                                   + (ss::DOUBLE + ds) * (ds::DOUBLE + dd) = 0
-                              THEN 1.0
-                              ELSE 2.0 * (ss::DOUBLE * dd - sd::DOUBLE * ds) /
-                                   ((ss::DOUBLE + sd) * (sd::DOUBLE + dd)
-                                    + (ss::DOUBLE + ds) * (ds::DOUBLE + dd))
-                         END, 4) AS adjusted_rand
-            FROM x
-        """,
+        "clustering_agreement": _agreement_exact_ngram_sql(""),
+        # the exact x ngram cell of the agreement matrix — same
+        # contingency construction, plus the strategy-label columns
+        "agreement_matrix_exact": _agreement_exact_ngram_sql(
+            "'exact' AS strategy_a, 'ngram' AS strategy_b, "
+        ),
         "semantic_blend_pairs": """
             WITH j0 AS (
               SELECT d.doc_id, d.source,

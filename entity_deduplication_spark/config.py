@@ -52,20 +52,22 @@ class DedupConfig:
     # --- skew / blocking limits (reference block_size_limit 1000, run.py:40-41) ---
     block_size_limit: int = 1000  # rows per (possibly salted) block key
     salt_buckets: int = 16        # salts applied to hot band keys
-    # band buckets larger than this are SKIPPED, not truncated: a band
-    # key shared by many clips is stopword-like evidence (zero
-    # discriminative power) but truncation still emits C(cap, 2) pairs
-    # per bucket. Worse, a band key with CONSTANT probability mass
-    # (a common audio/text pattern) has bucket size ∝ corpus size, so
-    # its pair mass grows QUADRATICALLY until the bucket crosses the cap
-    # and is skipped — a low cap moves that crossover early and bounds
-    # the intermediate-regime candidate volume (measured: cap 1000 +
-    # truncate spilled >50 GB of verify shuffle at 300k clips; the
-    # 100k-clip bucket histogram shows the growing buckets sit at
-    # 5-100 members). The reference likewise DROPS oversized blocks
-    # (deterministic_feature.py:852-918). True pairs keep colliding in
-    # selective buckets of the other 30+ bands, in the fingerprint
-    # family, and in the exact chain edges — recall tests hold at 0.99+.
+    # band buckets larger than this fall back to O(n) CHAIN candidates
+    # (consecutive by id) instead of all C(n, 2) pairs: a band key shared
+    # by many clips is usually stopword-like evidence, and a band key
+    # with CONSTANT probability mass (a common audio/text pattern) has
+    # bucket size ∝ corpus size, so full enumeration grows its pair mass
+    # QUADRATICALLY — a low cap moves the chain crossover early and
+    # bounds the intermediate-regime candidate volume (measured:
+    # cap 1000 + truncate spilled >50 GB of verify shuffle at 300k
+    # clips). Unlike round 4's outright skip, chains cannot LOSE a real
+    # duplicate group > cap (re-encodes of one clip with empty
+    # transcripts share every band key and have no exact key — skipping
+    # orphaned them; chain pairs verify true and connected components
+    # recovers the group transitively). The reference drops oversized
+    # blocks outright (deterministic_feature.py:852-918) — chains
+    # strictly dominate that at the same cost bound. Recall tests hold
+    # at 0.99+ and the flood test pins exact group recovery.
     band_bucket_cap: int = 64
 
     # --- clustering ---

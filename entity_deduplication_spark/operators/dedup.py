@@ -247,6 +247,10 @@ def embedding_cosine_pairs(
         tune_rhp_bands,
     )
 
+    if method not in ("auto", "lsh", "exact"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'auto', 'lsh' or 'exact'"
+        )
     r = b = None
     if method in ("auto", "lsh"):
         # route AND execute on the same n-aware tuning — deciding the

@@ -63,6 +63,17 @@ def block_self_join_pairs(
       behavior for its capped comparison loops (semantic_matching.py:
       214-216 skips blocks over the cap rather than sampling them). Use
       when the operator's contract says "blocks above N are not scored";
+    * ``"chain"``: oversized blocks emit O(n) *chain* candidates
+      (consecutive members by id) instead of all pairs or nothing. If the
+      bucket is a genuine duplicate flood (one clip re-encoded 100x with
+      empty transcripts, so exact keys cannot connect it), every chain
+      pair passes verification and connected components recovers the
+      whole group through transitivity; if the bucket is stopword-like
+      noise, the wasted verify work is linear, not quadratic. This is the
+      recall-safe bound for blocking families whose keys can be
+      *deterministically* shared by real duplicate groups larger than the
+      cap (LSH band tables — a group of identical clips shares EVERY band
+      key, so no other bucket rescues it);
     * ``"error"``: raise at execution time (``assert_true``) instead of
       silently dropping members. Callers that advertise a recall
       guarantee (e.g. the tuned-RHP embedding path) MUST use this so the
@@ -72,6 +83,7 @@ def block_self_join_pairs(
     """
     w = Window.partitionBy(*key_cols)
     sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w))
+    chain_pairs: DataFrame | None = None
     if on_oversize == "error":
         sized = sized.filter(
             F.assert_true(
@@ -91,6 +103,13 @@ def block_self_join_pairs(
             ).isNull()
         )
     elif on_oversize == "skip":
+        sized = sized.filter(F.col("_bn") <= block_size_limit)
+    elif on_oversize == "chain":
+        chain_pairs = chain_edges_within_block(
+            sized.filter(F.col("_bn") > block_size_limit).drop("_bn"),
+            key_cols=key_cols,
+            id_col=id_col,
+        )
         sized = sized.filter(F.col("_bn") <= block_size_limit)
     else:
         sized = sized.withColumn(
@@ -126,7 +145,10 @@ def block_self_join_pairs(
         .select("id1", "id2")
     )
 
-    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id1", "id2"])
+    out = cold_pairs.unionByName(hot_pairs)
+    if chain_pairs is not None:
+        out = out.unionByName(chain_pairs)
+    return out.dropDuplicates(["id1", "id2"])
 
 
 def chain_edges_within_block(

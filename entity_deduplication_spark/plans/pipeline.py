@@ -156,18 +156,26 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         .unionByName(sim_banded)
         .unionByName(fp_banded)
     )
-    # on_oversize="skip": saturated band buckets are dropped outright
-    # (see DedupConfig.band_bucket_cap) — truncation would still emit
-    # C(cap, 2) pairs per degenerate bucket, which is super-linear on
-    # low-entropy payloads and exactly what a 1000-executor run cannot
-    # afford in its verify shuffle
+    # on_oversize="chain": saturated band buckets emit O(n) chain
+    # candidates instead of all pairs (see DedupConfig.band_bucket_cap) —
+    # full enumeration would emit C(n, 2) pairs per degenerate bucket
+    # (super-linear on low-entropy payloads, exactly what a
+    # 1000-executor verify shuffle cannot afford), while skipping
+    # outright (round 4's policy) silently LOSES any real duplicate
+    # group > cap whose members share every band key and have no exact
+    # key (e.g. re-encodes of one clip with empty transcripts). Chains
+    # keep the pair mass linear AND let connected components recover
+    # such groups through verified-chain transitivity.
+    # cfg.salt_buckets is deliberately not passed: band_bucket_cap (64)
+    # sits below the hot-block threshold (256), so every surviving
+    # full-pairs block is cold and the salted join path is unreachable
+    # from here.
     return block_self_join_pairs(
         unified,
         key_cols=["src", "band_idx", "band_key"],
         id_col="clip_id",
         block_size_limit=cfg.band_bucket_cap,
-        salt_buckets=cfg.salt_buckets,
-        on_oversize="skip",
+        on_oversize="chain",
     )
 
 

@@ -38,7 +38,7 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
 
 
 def aqe_local_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint`` that executes the plan under AQE.
+    """Deploy-mode-aware stage materialization that executes under AQE.
 
     ``DataFrame.localCheckpoint`` compiles through the RDD path, which
     BYPASSES adaptive execution — no runtime broadcast demotion, no
@@ -48,17 +48,38 @@ def aqe_local_checkpoint(df: DataFrame) -> DataFrame:
     28 s under AQE spilled a disk full under a bare localCheckpoint).
     Materializing into a persist cache with a normal SQL action first
     makes the checkpoint a cheap cache scan; the unpersist leaves no
-    session-lifetime CacheManager entry. Use this for any checkpoint
-    whose plan contains an exchange; a bare ``localCheckpoint`` is fine
-    for narrow (scan + UDF/projection) plans.
+    session-lifetime CacheManager entry.
+
+    Deploy-mode routing (local-checkpoint blocks live only on executors,
+    so on a real cluster an executor loss would make the stage
+    unrecoverable where lineage would transparently recompute):
+
+    * local master → ``localCheckpoint`` (single JVM: executor loss IS
+      job loss, so durability buys nothing and the RDD-backed plan
+      avoids the CacheManager plan-matching trap below);
+    * cluster + ``sc.getCheckpointDir()`` set → *reliable*
+      ``checkpoint`` — same lineage truncation, blocks on the shared
+      checkpoint store, survives executor loss;
+    * cluster without a checkpoint dir → keep the materialized persist
+      cache WITH lineage (recoverable; the caller accepts that a
+      consumer whose expression ids were remapped — self-join alias
+      dedup, unionByName — may recompute instead of hitting the cache).
     """
     from pyspark import StorageLevel
 
+    spark = df.sparkSession
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    out = cached.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        out = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        return out
+    if spark.sparkContext.getCheckpointDir() is not None:
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
+    return cached
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

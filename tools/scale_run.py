@@ -10,7 +10,9 @@ checkpoint I/O, driver-side state). It
    each chunk with its own planted duplicate structure;
 2. runs DedupPipeline over the whole directory at local[CORES] with the
    occupancy/tree-CPU collector from tools/scaling_bench.py;
-3. appends the result to BENCH/SCALE_r04.json and prints one JSON line.
+3. appends the result to BENCH/SCALE_r{N}.json (current round inferred
+   from the newest driver-recorded BENCH_r{N}.json) and prints one JSON
+   line.
 
 Usage: python tools/scale_run.py [n_clips] [cores]
 (defaults 800_000 and $SPARK_GRAFT_CPUS or 32).
@@ -27,6 +29,22 @@ import urllib.request
 sys.path.insert(0, "/root/repo")
 
 CHUNK = 50_000
+
+
+def current_round() -> int:
+    """One past the newest BENCH_r{N}.json the driver has recorded
+    (overridable via $SPARK_GRAFT_ROUND) — same rule as bench.py."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [0]
+    for f in os.listdir("/root/repo"):
+        if f.startswith("BENCH_r") and f.endswith(".json"):
+            try:
+                rounds.append(int(f[len("BENCH_r"):-len(".json")]))
+            except ValueError:
+                continue
+    return max(rounds) + 1
 
 
 def _gen_chunk(args: tuple[str, int, int]) -> str:
@@ -165,7 +183,7 @@ def main() -> None:
         "cpu_per_clip_ms": round(1000.0 * tree / n_clips, 2),
         "n_clusters": n_clusters,
     }
-    path = "/root/repo/BENCH/SCALE_r04.json"
+    path = f"/root/repo/BENCH/SCALE_r{current_round():02d}.json"
     hist = []
     if os.path.exists(path):
         with open(path) as f:
