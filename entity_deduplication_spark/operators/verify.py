@@ -47,7 +47,12 @@ def attach_pair_features(
     return pairs.join(a, "id1").join(b, "id2")
 
 
-def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
+def score_pairs(
+    feat: DataFrame,
+    cfg: DedupConfig,
+    signatures: DataFrame | None = None,
+    id_col: str = "clip_id",
+) -> DataFrame:
     """Evidence-weighted score per pair -> (id1, id2, score, <evidence cols>).
 
     Tiering mirrors the reference's weight table + primary/supporting
@@ -105,11 +110,17 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
         # Slim + materialize BEFORE the easy/hard split: a union's two
         # branches each re-evaluate their common input subtree, so with
         # the array payloads still attached the split would run the
-        # whole broadcast-join + array-jaccard pipeline TWICE per pair
-        # (measured as ~2x verify CPU at 300k clips — the plan showed 8
-        # BroadcastHashJoins where the single-pass plan has 4). The
-        # evidence scalars + transcripts are ~500 B/pair; the shingle
-        # arrays never cross this boundary.
+        # whole join + array-jaccard pipeline TWICE per pair (measured
+        # as ~2x verify CPU at 300k clips — the plan showed 8 pair-side
+        # joins where the single-pass plan has 4). SCALARS ONLY cross
+        # this boundary (~50 B/pair): carrying the two normalized
+        # transcripts here put ~500 B/pair into the materialized cache
+        # — at 800k clips / ~50M candidates that is ~25 GB of
+        # long-lived serialized blocks, which (with the array-payload
+        # broadcasts, see tools/scale_run.py) drove the 48 GB heap into
+        # GC collapse: stage tasks ran 45+ min with every stack in
+        # MemoryStore.putIterator / SQLOpenHashSet. The hard minority
+        # re-joins transcripts below instead.
         scored = aqe_local_checkpoint(
             scored.select(
                 "id1",
@@ -118,8 +129,6 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
                 "audio_jaccard",
                 "simhash_sim",
                 "is_exact",
-                "transcript_norm_1",
-                "transcript_norm_2",
             )
         )
 
@@ -134,12 +143,38 @@ def score_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.lit(False),
         )
         easy = scored.filter(decided).withColumn("run_len", F.lit(0))
-        hard = scored.filter(~decided).withColumn(
+        hard = scored.filter(~decided)
+        # Transcripts are attached ONLY to the undecided minority (the
+        # easy branch never reads them). ``signatures`` is the slim
+        # (clip_id, transcript_norm) source; when the caller cannot
+        # supply it, fall back to the transcript columns already in
+        # ``feat`` — but then they must ride through the checkpoint.
+        if signatures is not None and id_col in signatures.columns:
+            tn = signatures.select(id_col, "transcript_norm")
+            hard = hard.join(
+                tn.select(
+                    F.col(id_col).alias("id1"),
+                    F.col("transcript_norm").alias("transcript_norm_1"),
+                ),
+                "id1",
+            ).join(
+                tn.select(
+                    F.col(id_col).alias("id2"),
+                    F.col("transcript_norm").alias("transcript_norm_2"),
+                ),
+                "id2",
+            )
+        else:  # pragma: no cover - exercised only by direct score_pairs use
+            trans = feat.select(
+                "id1", "id2", "transcript_norm_1", "transcript_norm_2"
+            )
+            hard = hard.join(trans, ["id1", "id2"])
+        hard = hard.withColumn(
             "run_len",
             run_verify_udf(cfg.min_run_chars)(
                 F.col("transcript_norm_1"), F.col("transcript_norm_2")
             ),
-        )
+        ).drop("transcript_norm_1", "transcript_norm_2")
         scored = easy.unionByName(hard)
     else:
         scored = scored.withColumn("run_len", F.lit(0))
@@ -231,7 +266,7 @@ def verified_edges(
             .select("id1", "id2")
         )
     feat = attach_pair_features(pairs, signatures)
-    scored = score_pairs(feat, cfg)
+    scored = score_pairs(feat, cfg, signatures=signatures)
     return scored.filter(F.col("score") >= cfg.match_threshold).select(
         "id1", "id2", "score"
     )

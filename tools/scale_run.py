@@ -150,14 +150,17 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "0",
-            # the verify stage joins candidate pairs against the skinny
-            # signature-payload table twice; in local mode (one executor)
-            # broadcasting that dimension (~1.5 GB at 300k clips, well
-            # inside the 48 GB heap) removes BOTH payload exchanges —
-            # the sandbox's single small disk cannot absorb tens of GB
-            # of payload shuffle that a real cluster spreads across
-            # nodes. On a cluster AQE makes this call adaptively.
-            "spark.sql.autoBroadcastJoinThreshold": str(4 << 30),
+            # NOTE: do NOT raise spark.sql.autoBroadcastJoinThreshold
+            # here. The r4 attempt set it to 4 GB to keep the verify
+            # payload joins broadcast — at 800k clips that broadcast the
+            # shingle-array signature projection TWICE (~10 GB of
+            # long-lived HashedRelation each) and, with the pair cache,
+            # collapsed the 48 GB heap into GC thrash: all 32 tasks ran
+            # 45+ min without one finishing. The session default (64 MB)
+            # shuffle-joins the payload instead: one zstd-compressed
+            # ~2 GB exchange of the 800k-row payload plus two cheap
+            # 16 B/row pair-side exchanges — exactly what a real
+            # cluster must do, since no executor holds a 10 GB build.
         },
     )
     sc = spark.sparkContext
