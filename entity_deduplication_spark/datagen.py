@@ -77,11 +77,19 @@ def generate_clips(
     seed: int = 42,
     dup_fraction: float = 0.30,
     with_substring_runs: bool = True,
+    id_offset: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Return (clips_df, truth_df).
 
     clips_df: clip_id, bytes, sr_hz, dur_ms, codec, transcript
     truth_df: clip_id, true_cluster_id (cluster id = first member's clip_id)
+
+    ``id_offset`` shifts the clip_id numbering so independently generated
+    chunks can be unioned into one table with globally unique ids. Without
+    it every chunk restarts at clip_00000000 — a 16-chunk 800k-clip input
+    then carries each id 16x, and every id-equijoin downstream (verify
+    payload joins, cluster assignment) expands 16x per side (observed as
+    a 48.9M-pair candidate table exploding to 12.5B rows in the 10x run).
     """
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
@@ -90,7 +98,7 @@ def generate_clips(
 
     def next_id() -> str:
         nonlocal i
-        cid = f"clip_{i:08d}"
+        cid = f"clip_{id_offset + i:08d}"
         i += 1
         return cid
 

@@ -351,3 +351,35 @@ def test_score_pairs_transcript_rejoin_matches_fallback(spark):
     assert len(got) > 0
     # the split is total: every candidate pair scored exactly once
     assert len(got) == cand.count()
+
+
+def test_generate_clips_id_offset_makes_chunks_disjoint():
+    """Chunked scale datagen must produce globally unique clip_ids.
+
+    The r4/r5a 800k-clip scale runs were invalid because every 50k chunk
+    restarted clip_id at 0: each id appeared once per chunk, so every
+    downstream id-equijoin (verify payload joins, cluster assignment)
+    multiplied by the chunk count — 48.9M candidate pairs became 12.5B
+    joined rows. ``id_offset`` is the fix; this pins it.
+    """
+    from entity_deduplication_spark.datagen import generate_clips
+
+    chunk = 40
+    frames = []
+    for k in range(3):
+        clips, truth = generate_clips(chunk, seed=1000 + k, id_offset=k * chunk)
+        assert len(clips) == chunk
+        # truth stays internally consistent: cluster id = a member clip_id
+        assert set(truth["true_cluster_id"]).issubset(set(truth["clip_id"]))
+        frames.append(clips)
+
+    ids = [cid for f in frames for cid in f["clip_id"]]
+    assert len(ids) == len(set(ids)) == 3 * chunk
+    # offsets tile the global numbering exactly
+    assert set(ids) == {f"clip_{n:08d}" for n in range(3 * chunk)}
+    # offset shifts ids only — payloads are seed-determined, not offset-
+    # determined (same seed + different offset => same bytes/transcript)
+    a, _ = generate_clips(10, seed=5, id_offset=0)
+    b, _ = generate_clips(10, seed=5, id_offset=1000)
+    assert list(a["transcript"]) == list(b["transcript"])
+    assert [bytes(x) for x in a["bytes"]] == [bytes(x) for x in b["bytes"]]

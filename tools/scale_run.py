@@ -47,13 +47,18 @@ def current_round() -> int:
     return max(rounds) + 1
 
 
-def _gen_chunk(args: tuple[str, int, int]) -> str:
-    path, n, seed = args
+def _gen_chunk(args: tuple[str, int, int, int]) -> str:
+    path, n, seed, id_offset = args
     if os.path.exists(path):
         return path
     from entity_deduplication_spark.datagen import generate_clips
 
-    clips, _ = generate_clips(n, seed=seed)
+    # id_offset makes clip_ids globally unique across chunks; without it
+    # every chunk restarts at clip_00000000 and each id appears once per
+    # chunk, multiplying every downstream id-equijoin by the chunk count
+    # (the r4/r5a 800k runs died exactly this way: 48.9M candidate pairs
+    # -> 12.5B rows after two 16x-duplicated payload joins).
+    clips, _ = generate_clips(n, seed=seed, id_offset=id_offset)
     tmp = path + ".tmp"
     clips.to_parquet(tmp, index=False, row_group_size=2048)
     os.rename(tmp, path)
@@ -73,6 +78,7 @@ def ensure_chunks(data_dir: str, n_clips: int) -> list[str]:
             os.path.join(data_dir, f"chunk_{i:03d}.parquet"),
             min(CHUNK, n_clips - i * CHUNK),
             1000 + i,
+            i * CHUNK,
         )
         for i in range(n_chunks)
     ]
@@ -135,7 +141,9 @@ def main() -> None:
     )
     # shared chunk cache: any run size reads the prefix of chunk files
     # it needs (last chunk may be partial only for non-multiples of CHUNK)
-    data_dir = "/root/repo/.data/scale_800000"
+    # v2: chunk files carry per-chunk id_offset (globally unique clip_ids);
+    # v1 chunks (scale_800000/) restarted ids per chunk and are invalid
+    data_dir = "/root/repo/.data/scale_800k_v2"
     chunk_paths = ensure_chunks(data_dir, n_clips)
 
     from entity_deduplication_spark.plans.pipeline import DedupPipeline
