@@ -27,7 +27,17 @@ class DedupConfig:
     # --- SimHash ---
     simhash_bits: int = 64
     simhash_hamming_max: int = 3  # near-dup Hamming radius
-    simhash_block_bits: int = 16  # prefix-block width for Hamming blocking
+    simhash_block_bits: int = 16  # prefix width (legacy prefix helpers only)
+    # Hamming blocking splits the signature into n_blocks contiguous
+    # blocks and bands on every (n_blocks - hamming_max)-subset of them
+    # (guaranteed complete for the radius — Manku et al., WWW'07). The
+    # block count trades band rows for key entropy: keys are
+    # (n_blocks-radius)·(64/n_blocks) bits wide, so 6 blocks at radius 3
+    # give C(6,3)=20 bands of ~32-bit keys (collision pair mass n²/2³²),
+    # where the minimal 4 blocks give 4 bands of 16-bit keys whose
+    # random collisions made candidate volume grow ∝ n²/2¹⁶ (measured
+    # 12.6× pair mass on 4× clips at 800k).
+    simhash_n_blocks: int = 6
 
     # --- audio features ---
     frame_ms: int = 25
@@ -69,6 +79,18 @@ class DedupConfig:
     # strictly dominate that at the same cost bound. Recall tests hold
     # at 0.99+ and the flood test pins exact group recovery.
     band_bucket_cap: int = 64
+    # substring-fingerprint document-frequency cap: a winnowed
+    # fingerprint shared by more than this many clips is a stopword-like
+    # common phrase, not duplicate evidence — its bucket is SKIPPED
+    # (standard winnowing/MOSS practice of ignoring high-df fingerprints).
+    # Without it the fingerprint family's pair mass grew n^1.5 (4.96M →
+    # 39.3M on 4× clips): popular vocab runs collide across unrelated
+    # clips with bucket size ∝ corpus size. Skipping (not chaining) is
+    # safe for recall: true near-dup transcripts also share RARE
+    # fingerprints, planted substring-run pairs have df≈2 runs, and
+    # duplicate FLOODS (identical clips > cap) are still recovered by the
+    # minhash families' chain policy, which fires on the same rows.
+    fp_df_cap: int = 16
 
     # --- clustering ---
     max_cluster_size: int = 50    # reference utils.py:73-98 split threshold

@@ -218,3 +218,76 @@ def simhash_prefix(simhash_col: Column, prefix_bits: int) -> Column:
     full radius coverage the blocking stage unions several bit-rotations.)
     """
     return F.shiftrightunsigned(simhash_col, 64 - prefix_bits)
+
+
+def simhash_hamming_blocks(n_blocks: int, radius: int, bits: int = 64):
+    """Block layout + key subsets for guaranteed Hamming-radius blocking.
+
+    Returns ``(widths, offsets, combos)``: the signature is split into
+    ``n_blocks`` contiguous blocks (widths as even as possible) and
+    ``combos`` enumerates every ``(n_blocks - radius)``-subset of block
+    indices. Shared helper so Spark-side banding and pure-Python test
+    oracles agree on the exact layout.
+    """
+    if not 0 < radius < n_blocks:
+        raise ValueError(f"need 0 < radius < n_blocks, got {radius}, {n_blocks}")
+    from itertools import combinations
+
+    widths = [
+        bits // n_blocks + (1 if i < bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    combos = list(combinations(range(n_blocks), n_blocks - radius))
+    return widths, offsets, combos
+
+
+def simhash_hamming_band_structs(
+    simhash_col: Column, n_blocks: int, radius: int, bits: int = 64
+) -> list[Column]:
+    """Guaranteed-complete Hamming-LSH band keys (block combinations).
+
+    Split the ``bits``-bit signature into ``n_blocks`` contiguous blocks
+    and emit one band per ``(n_blocks - radius)``-subset of blocks, keyed
+    by the concatenation of those blocks' bits. Two signatures within
+    Hamming distance ``radius`` differ in at most ``radius`` blocks, so
+    at least ``n_blocks - radius`` blocks are clean and some emitted
+    subset consists entirely of clean blocks — they MUST share that band
+    key (pigeonhole; the multi-table scheme of Manku/Jain/Das Sarma,
+    "Detecting near-duplicates for web crawling", WWW'07 — public
+    knowledge). This replaces rotated-prefix banding, which (a) only
+    catches the radius with high probability, and (b) has a tiny
+    2^prefix_bits keyspace whose random collisions give bucket size
+    ∝ corpus size and candidate-pair mass ∝ n² / 2^prefix_bits —
+    measured 12.6× pair-mass growth on 4× clips at 800k. Block-subset
+    keys are (n_blocks-radius)·(bits/n_blocks) ≈ 32 bits wide at the
+    default (6,3), pushing random-collision mass to n²/2³² — negligible
+    into the billions of rows, at the cost of C(n_blocks, radius) bands
+    per row instead of radius+1.
+
+    Returns a list of ``struct(band_idx, band_key)`` columns, one per
+    subset, for the caller to ``explode(array(...))``.
+    """
+    widths, offsets, combos = simhash_hamming_blocks(n_blocks, radius, bits)
+
+    def block(i: int) -> Column:
+        # contiguous bit-slice i, right-aligned; mask width < 63 so the
+        # (1 << w) - 1 literal never overflows the signed long
+        return F.shiftrightunsigned(simhash_col, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    structs = []
+    for band_idx, combo in enumerate(combos):
+        key = block(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(block(i))
+        structs.append(
+            F.struct(
+                F.lit(band_idx).alias("band_idx"), key.alias("band_key")
+            )
+        )
+    return structs

@@ -51,33 +51,28 @@ def simhash_block_pairs(
     cfg: DedupConfig,
     simhash_col: str = "simhash",
     id_col: str = "clip_id",
-    n_rotations: int = 4,
 ) -> DataFrame:
-    """Candidate pairs whose SimHash signatures share a rotated prefix.
+    """Candidate pairs whose SimHash signatures share a block-subset key.
 
-    Classic Hamming-LSH: take ``n_rotations`` bit-rotations of the 64-bit
-    signature and block on the top ``simhash_block_bits`` of each. Two
-    signatures within a small Hamming radius share at least one rotated
-    prefix with high probability (their differing bits fall outside the
-    prefix in some rotation). Verification (exact bit_count) happens in
-    operators.verify.
+    Hamming-LSH via block combinations (Manku et al., WWW'07): the 64-bit
+    signature splits into ``cfg.simhash_n_blocks`` contiguous blocks and
+    every ``(n_blocks - hamming_max)``-subset of blocks forms a band key.
+    Any two signatures within the Hamming radius are GUARANTEED to share
+    at least one band (pigeonhole on clean blocks) — the rotated-prefix
+    scheme this replaces missed radius-3 pairs whose differing bits
+    landed in every prefix, and its 16-bit keyspace made random
+    collisions (and thus candidate volume) grow ∝ n². Verification
+    (exact bit_count) happens in operators.verify.
     """
-    bits = 64
-    p = cfg.simhash_block_bits
-    rot_cols = []
-    for r in range(n_rotations):
-        shift = (bits // n_rotations) * r
-        rotated = F.shiftleft(F.col(simhash_col), shift).bitwiseOR(
-            F.shiftrightunsigned(F.col(simhash_col), bits - shift)
-        ) if shift else F.col(simhash_col)
-        rot_cols.append(
-            F.struct(
-                F.lit(r).alias("band_idx"),
-                F.shiftrightunsigned(rotated, bits - p).alias("band_key"),
-            )
-        )
+    from entity_deduplication_spark.functions.hashing import (
+        simhash_hamming_band_structs,
+    )
+
+    structs = simhash_hamming_band_structs(
+        F.col(simhash_col), cfg.simhash_n_blocks, cfg.simhash_hamming_max
+    )
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*rot_cols)).alias("rb")
+        F.col(id_col), F.explode(F.array(*structs)).alias("rb")
     ).select(id_col, F.col("rb.band_idx").alias("band_idx"), F.col("rb.band_key").alias("band_key"))
     return block_self_join_pairs(
         banded,

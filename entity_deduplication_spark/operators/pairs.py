@@ -8,7 +8,7 @@ the compared_pairs set (deterministic_feature.py:966-969) — expressed as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -30,10 +30,10 @@ def block_self_join_pairs(
     keyed: DataFrame,
     key_cols: list[str],
     id_col: str = "clip_id",
-    block_size_limit: int = 1000,
+    block_size_limit: int | Column = 1000,
     hot_threshold: int = 256,
     salt_buckets: int = 16,
-    on_oversize: str = "truncate",
+    on_oversize: str | Column = "truncate",
 ) -> DataFrame:
     """All unordered pairs within each block key, skew-aware.
 
@@ -84,7 +84,28 @@ def block_self_join_pairs(
     w = Window.partitionBy(*key_cols)
     sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w))
     chain_pairs: DataFrame | None = None
-    if on_oversize == "error":
+    if isinstance(block_size_limit, Column) or isinstance(on_oversize, Column):
+        # per-row cap/policy (both may be Columns derived from key_cols):
+        # lets one unified block table mix families with different
+        # oversize semantics in a single window pass. Column mode
+        # supports only {"chain", "skip"} policies — oversized rows with
+        # any other policy value are skipped.
+        limit_col = (
+            block_size_limit
+            if isinstance(block_size_limit, Column)
+            else F.lit(block_size_limit)
+        )
+        pol_col = (
+            on_oversize if isinstance(on_oversize, Column) else F.lit(on_oversize)
+        )
+        over = F.col("_bn") > limit_col
+        chain_pairs = chain_edges_within_block(
+            sized.filter(over & (pol_col == F.lit("chain"))).drop("_bn"),
+            key_cols=key_cols,
+            id_col=id_col,
+        )
+        sized = sized.filter(~over)
+    elif on_oversize == "error":
         sized = sized.filter(
             F.assert_true(
                 F.col("_bn") <= F.lit(block_size_limit),

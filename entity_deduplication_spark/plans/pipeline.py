@@ -101,6 +101,52 @@ def build_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     return sig
 
 
+def unified_band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """The unified blocking-key table: (clip_id, src, band_idx, band_key).
+
+    src 0 = text MinHash LSH bands, 1 = audio MinHash LSH bands,
+    2 = SimHash Hamming-block keys, 3 = winnowed substring fingerprints.
+    Exposed separately from :func:`candidate_pairs` so scale tooling can
+    audit per-family bucket-size distributions (pair mass per family)
+    without running the self-join.
+    """
+
+    def _banded(bands_col: str, src: int) -> DataFrame:
+        return signatures.select(
+            "clip_id", F.posexplode(F.col(bands_col)).alias("band_idx", "band_key")
+        ).select("clip_id", F.lit(src).alias("src"), "band_idx", "band_key")
+
+    # simhash block-combination bands as a third family (guaranteed
+    # complete for Hamming <= hamming_max; see simhash_hamming_band_structs
+    # for why rotated prefixes were replaced)
+    from entity_deduplication_spark.functions.hashing import (
+        simhash_hamming_band_structs,
+    )
+
+    sim_structs = simhash_hamming_band_structs(
+        F.col("simhash"), cfg.simhash_n_blocks, cfg.simhash_hamming_max
+    )
+    sim_banded = signatures.select(
+        "clip_id", F.explode(F.array(*sim_structs)).alias("rb")
+    ).select(
+        "clip_id",
+        F.lit(2).alias("src"),
+        F.col("rb.band_idx").alias("band_idx"),
+        F.col("rb.band_key").alias("band_key"),
+    )
+
+    fp_banded = signatures.select(
+        "clip_id", F.explode("fps").alias("band_key")
+    ).select("clip_id", F.lit(3).alias("src"), F.lit(0).alias("band_idx"), "band_key")
+
+    return (
+        _banded("bands", 0)
+        .unionByName(_banded("audio_bands", 1))
+        .unionByName(sim_banded)
+        .unionByName(fp_banded)
+    )
+
+
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Candidate pairs from ALL blocking strategies via one unified block
     table -> one skew-aware self-join.
@@ -113,49 +159,7 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     from entity_deduplication_spark.operators.pairs import block_self_join_pairs
 
-    def _banded(bands_col: str, src: int) -> DataFrame:
-        return signatures.select(
-            "clip_id", F.posexplode(F.col(bands_col)).alias("band_idx", "band_key")
-        ).select("clip_id", F.lit(src).alias("src"), "band_idx", "band_key")
-
-    # simhash prefix rotations as a third band family
-    bits, p = 64, cfg.simhash_block_bits
-    n_rot = 4
-    rot_structs = []
-    for r in range(n_rot):
-        shift = (bits // n_rot) * r
-        rotated = (
-            F.shiftleft(F.col("simhash"), shift).bitwiseOR(
-                F.shiftrightunsigned(F.col("simhash"), bits - shift)
-            )
-            if shift
-            else F.col("simhash")
-        )
-        rot_structs.append(
-            F.struct(
-                F.lit(r).alias("band_idx"),
-                F.shiftrightunsigned(rotated, bits - p).alias("band_key"),
-            )
-        )
-    sim_banded = signatures.select(
-        "clip_id", F.explode(F.array(*rot_structs)).alias("rb")
-    ).select(
-        "clip_id",
-        F.lit(2).alias("src"),
-        F.col("rb.band_idx").alias("band_idx"),
-        F.col("rb.band_key").alias("band_key"),
-    )
-
-    fp_banded = signatures.select(
-        "clip_id", F.explode("fps").alias("band_key")
-    ).select("clip_id", F.lit(3).alias("src"), F.lit(0).alias("band_idx"), "band_key")
-
-    unified = (
-        _banded("bands", 0)
-        .unionByName(_banded("audio_bands", 1))
-        .unionByName(sim_banded)
-        .unionByName(fp_banded)
-    )
+    unified = unified_band_table(signatures, cfg)
     # on_oversize="chain": saturated band buckets emit O(n) chain
     # candidates instead of all pairs (see DedupConfig.band_bucket_cap) —
     # full enumeration would emit C(n, 2) pairs per degenerate bucket
@@ -170,12 +174,22 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # sits below the hot-block threshold (256), so every surviving
     # full-pairs block is cold and the salted join path is unreachable
     # from here.
+    #
+    # Per-family oversize policy (Column mode): the substring-fingerprint
+    # family (src 3) uses a LOWER cap (fp_df_cap) with SKIP — a
+    # fingerprint shared by many clips is a stopword-like common phrase
+    # whose bucket grows ∝ corpus size (see DedupConfig.fp_df_cap); the
+    # minhash/simhash families keep chain-at-cap, which also covers
+    # duplicate-flood recovery for the rows a fp-skip drops.
+    is_fp = F.col("src") == F.lit(3)
     return block_self_join_pairs(
         unified,
         key_cols=["src", "band_idx", "band_key"],
         id_col="clip_id",
-        block_size_limit=cfg.band_bucket_cap,
-        on_oversize="chain",
+        block_size_limit=F.when(is_fp, F.lit(cfg.fp_df_cap)).otherwise(
+            F.lit(cfg.band_bucket_cap)
+        ),
+        on_oversize=F.when(is_fp, F.lit("skip")).otherwise(F.lit("chain")),
     )
 
 

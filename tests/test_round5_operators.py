@@ -173,14 +173,12 @@ def test_streaming_two_drain_delta_and_recluster(spark, tmp_ckpt):
 _M64 = 1 << 64
 
 
-def _rot64(h: int, shift: int) -> int:
-    return ((h << shift) | (h >> (64 - shift))) & (_M64 - 1) if shift else h
-
-
 def test_simhash_pairs_match_driver_side_oracle(spark):
     """Exact oracle for simhash_pairs: pure-Python bit-majority SimHash,
-    4-rotation 16-bit-prefix Hamming-LSH candidates, exact popcount
-    verify at radius 3 — (id1, id2, hamming_sim) must match EXACTLY."""
+    block-combination Hamming-LSH candidates (Manku-style — every
+    (n_blocks - radius)-subset of contiguous blocks is a band), exact
+    popcount verify at radius 3 — (id1, id2, hamming_sim) must match
+    EXACTLY."""
     from entity_deduplication_spark.config import DedupConfig
     from entity_deduplication_spark.functions.text import word_shingles
     from entity_deduplication_spark.operators.dedup import simhash_pairs
@@ -213,12 +211,20 @@ def test_simhash_pairs_match_driver_side_oracle(spark):
         return h
 
     sim = {i: simhash(s) for i, s in sh.items()}
-    p = cfg.simhash_block_bits
+    from entity_deduplication_spark.functions.hashing import (
+        simhash_hamming_blocks,
+    )
+
+    widths, offsets, combos = simhash_hamming_blocks(
+        cfg.simhash_n_blocks, cfg.simhash_hamming_max
+    )
     buckets: dict = {}
     for i, h in sim.items():
-        for r_i in range(4):
-            key = (r_i, _rot64(h, 16 * r_i) >> (64 - p))
-            buckets.setdefault(key, []).append(i)
+        for band_idx, combo in enumerate(combos):
+            key = 0
+            for b in combo:
+                key = (key << widths[b]) | ((h >> offsets[b]) & ((1 << widths[b]) - 1))
+            buckets.setdefault((band_idx, key), []).append(i)
     cand = set()
     for members in buckets.values():
         for x in range(len(members)):
@@ -383,3 +389,118 @@ def test_generate_clips_id_offset_makes_chunks_disjoint():
     b, _ = generate_clips(10, seed=5, id_offset=1000)
     assert list(a["transcript"]) == list(b["transcript"])
     assert [bytes(x) for x in a["bytes"]] == [bytes(x) for x in b["bytes"]]
+
+
+def test_simhash_hamming_banding_complete_for_radius():
+    """Pigeonhole completeness of block-combination Hamming-LSH: any two
+    64-bit values within Hamming distance <= radius share at least one
+    (band_idx, band_key). Property-checked over seeded random flips —
+    this is the guarantee the old rotated-prefix banding lacked (3 dirty
+    bits could land in every rotated 16-bit prefix)."""
+    import random
+
+    from entity_deduplication_spark.functions.hashing import (
+        simhash_hamming_blocks,
+    )
+
+    n_blocks, radius = 6, 3
+    widths, offsets, combos = simhash_hamming_blocks(n_blocks, radius)
+    assert sum(widths) == 64 and len(combos) == 20
+
+    def keys(h: int) -> set:
+        out = set()
+        for band_idx, combo in enumerate(combos):
+            key = 0
+            for b in combo:
+                key = (key << widths[b]) | (
+                    (h >> offsets[b]) & ((1 << widths[b]) - 1)
+                )
+            out.add((band_idx, key))
+        return out
+
+    rng = random.Random(42)
+    for _ in range(500):
+        h = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, radius))
+        h2 = h
+        for bit in flips:
+            h2 ^= 1 << bit
+        assert keys(h) & keys(h2), f"missed pair at flips={flips}"
+    # and a radius+1 adversarial case CAN miss (sanity that keys do
+    # discriminate): one flip inside every one of 4+ distinct blocks
+    h = rng.getrandbits(64)
+    h2 = h
+    for b in range(radius + 1):
+        h2 ^= 1 << offsets[b]
+    assert not (keys(h) & keys(h2))
+
+
+def test_candidate_pairs_fp_df_cap_skips_common_phrase_buckets(spark):
+    """A substring fingerprint shared by more than fp_df_cap clips is a
+    stopword-like phrase: its bucket must emit NO pairs (skip, not
+    chain), while rarer fingerprints still pair up. Distinct transcripts
+    are used so the minhash/exact families cannot rescue the bucket."""
+    import pandas as pd
+
+    from entity_deduplication_spark.config import DedupConfig
+    from entity_deduplication_spark.datagen import encode_wav
+    from entity_deduplication_spark.plans.pipeline import (
+        build_signatures,
+        candidate_pairs,
+    )
+    import numpy as np
+
+    cfg = DedupConfig()
+    common = "the quick brown fox jumps over the lazy dog again"
+    rows = []
+    # 2*fp_df_cap clips sharing one >=20-char run inside OTHERWISE
+    # DISTINCT long transcripts (low pairwise Jaccard, distinct audio)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    for i in range(2 * cfg.fp_df_cap):
+        filler1 = " ".join(rng.choice(vocab, 12))
+        filler2 = " ".join(rng.choice(vocab, 12))
+        pcm = rng.standard_normal(1600).astype("float32") * 0.1
+        rows.append(
+            dict(
+                clip_id=f"clip_{i:08d}",
+                bytes=encode_wav(pcm, 16000, "pcm_s16le"),
+                sr_hz=16000,
+                dur_ms=100,
+                codec="pcm_s16le",
+                transcript=f"{filler1} {common} {filler2}",
+            )
+        )
+    # plus one planted rare pair sharing its own unique run
+    rare = "zebra quartz vortex jackal umbra nexus"
+    for j, i in enumerate(range(len(rows), len(rows) + 2)):
+        filler = " ".join(rng.choice(vocab, 12))
+        pcm = rng.standard_normal(1600).astype("float32") * 0.1
+        rows.append(
+            dict(
+                clip_id=f"clip_{i:08d}",
+                bytes=encode_wav(pcm, 16000, "pcm_s16le"),
+                sr_hz=16000,
+                dur_ms=100,
+                codec="pcm_s16le",
+                transcript=f"{filler} {rare}",
+            )
+        )
+    clips = spark.createDataFrame(pd.DataFrame(rows))
+    sig = build_signatures(clips, cfg).localCheckpoint(eager=True)
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in candidate_pairs(sig, cfg).collect()
+    }
+    rare_pair = (rows[-2]["clip_id"], rows[-1]["clip_id"])
+    assert rare_pair in pairs
+    # the common-run crowd must NOT be all-pairs connected: its df>cap
+    # fingerprint buckets are skipped, so any surviving pairs among those
+    # clips come from other (linear-mass) families
+    crowd = [r["clip_id"] for r in rows[: 2 * cfg.fp_df_cap]]
+    crowd_pairs = {p for p in pairs if p[0] in crowd and p[1] in crowd}
+    n = len(crowd)
+    assert len(crowd_pairs) < n * (n - 1) / 4, (
+        f"common-phrase bucket emitted near-quadratic pairs: "
+        f"{len(crowd_pairs)} of {n*(n-1)//2}"
+    )

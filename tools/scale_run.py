@@ -158,6 +158,14 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": "0",
+            # shuffle files live until their RDD is GC'd; in a single
+            # 20+ min pipeline the default 30 min periodic GC never runs,
+            # so every stage's shuffle output accumulates to job end.
+            # Each checkpoint orphans its upstream lineage — a 1 min GC
+            # lets ContextCleaner reclaim those tens of GB mid-run (the
+            # first 800k attempt filled the disk with dead shuffles from
+            # already-checkpointed stages)
+            "spark.cleaner.periodicGC.interval": "1min",
             # NOTE: do NOT raise spark.sql.autoBroadcastJoinThreshold
             # here. The r4 attempt set it to 4 GB to keep the verify
             # payload joins broadcast — at 800k clips that broadcast the
