@@ -82,32 +82,40 @@ def ngram_jaccard_pairs(
     tighter exact guarantee at scale use minhash_lsh_dedup. MinHash-LSH is
     the intended 100-TB path; this operator is the exact oracle-able form.
     """
+    from entity_deduplication_spark.sources.io import spread_partitions
+
     words = F.split(F.col(text_col), " ")
-    grams = (
-        df.filter(F.length(F.col(text_col)) > 0)
-        .filter(F.size(words) >= n)  # also avoids sequence() negative-step
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(words) - n),
-                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))),
-                    )
-                )
-            ).alias("gram"),
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))),
         )
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # spread a single-split scan so the gram expression parallelizes
+    base = (
+        spread_partitions(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .filter(F.length(F.col(text_col)) > 0)
+        .filter(F.size(words) >= n)  # also avoids sequence() negative-step
+        .select(F.col(id_col).alias("id"), gram_arr.alias("_garr"))
+    )
+    # per-doc set size straight from the array — the old groupBy over the
+    # exploded grams paid a whole extra explode + shuffle (x2: n1 and n2
+    # branches) for a number the array already knows
+    sizes = base.select("id", F.size("_garr").alias("n_grams"))
+    grams = base.select("id", F.explode("_garr").alias("gram"))
     gram_df = Window.partitionBy("gram")
     join_grams = (
         grams.withColumn("_df", F.count(F.lit(1)).over(gram_df))
         .filter(F.col("_df") <= max_gram_doc_freq)
         .drop("_df")
     )
+    # merge hint: with a broadcast join the two (identical) gram subtrees
+    # execute independently — explode + window TWICE; as a sort-merge join
+    # both sides want hashpartitioning(gram), AQE reuses ONE shuffle for
+    # them, and the sort is free (the window already sorted by gram)
     inter = (
         join_grams.alias("a")
-        .join(join_grams.alias("b"), "gram")
+        .join(join_grams.alias("b").hint("merge"), "gram")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -139,8 +147,12 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """(id, cluster_id) via shingle -> MinHash -> LSH bands -> Jaccard
     verify -> connected components. The scale path for text dedup."""
+    from entity_deduplication_spark.sources.io import spread_partitions
+
     cfg = cfg or DedupConfig()
-    sig = df.select(
+    # a small documents table is one parquet split -> the MinHash kernel
+    # would run on ONE core; spread first (no-op on well-split inputs)
+    sig = spread_partitions(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col).alias("clip_id"),
         word_shingles(F.col(text_col), cfg.shingle_k).alias("shingles"),
     )
@@ -181,9 +193,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id1, id2, hamming_sim) pairs within the SimHash Hamming radius."""
     from entity_deduplication_spark.operators.blocking import simhash_block_pairs
+    from entity_deduplication_spark.sources.io import spread_partitions
 
     cfg = cfg or DedupConfig()
-    sig = df.select(
+    # spread the (possibly single-split) scan so the SimHash kernel
+    # parallelizes — see minhash_lsh_dedup
+    sig = spread_partitions(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col).alias("clip_id"),
         word_shingles(F.col(text_col), cfg.shingle_k).alias("shingles"),
     ).withColumn("simhash", simhash_udf(F.col("shingles")))
@@ -274,10 +289,14 @@ def embedding_cosine_pairs(
         return _embedding_pairs_grid(
             df, id_col, vec_col, threshold, grid_chunks
         )
-    # localCheckpoint, not persist (same CacheManager-leak rationale)
-    keyed = rhp_band_keys(df, id_col, vec_col, r, b, seed).localCheckpoint(
-        eager=True
-    )
+    # localCheckpoint, not persist (same CacheManager-leak rationale);
+    # spread first: a small embeddings table is 1-2 scan splits, which
+    # would serialize the RHP matmul kernel onto one core
+    from entity_deduplication_spark.sources.io import spread_partitions
+
+    keyed = rhp_band_keys(
+        spread_partitions(df, key=id_col), id_col, vec_col, r, b, seed
+    ).localCheckpoint(eager=True)
     banded = keyed.select(
         F.col(id_col).alias("clip_id"),
         F.posexplode("band_keys").alias("band_idx", "band_key"),

@@ -82,14 +82,26 @@ def block_self_join_pairs(
     Returns (id1, id2) distinct pairs.
     """
     w = Window.partitionBy(*key_cols)
-    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w))
+    # Materialize the sized block table ONCE: downstream it feeds up to
+    # five plan subtrees (chain branch, cold self-join a/b, hot salted
+    # join a/b), and Spark re-evaluates the whole upstream banding chain
+    # (posexplode + shuffle + sort + window) per subtree — the "before"
+    # plans show 4 copies of the Generate/Window chain per pair query.
+    # One eager localCheckpoint turns those into block scans. The plan up
+    # to here is narrow-on-top-of-one-exchange (no joins), so non-AQE
+    # compilation is harmless, and the table is linear in the band rows
+    # the window pass already shuffles — no new scale cost.
+    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=True
+    )
     chain_pairs: DataFrame | None = None
     if isinstance(block_size_limit, Column) or isinstance(on_oversize, Column):
         # per-row cap/policy (both may be Columns derived from key_cols):
         # lets one unified block table mix families with different
         # oversize semantics in a single window pass. Column mode
-        # supports only {"chain", "skip"} policies — oversized rows with
-        # any other policy value are skipped.
+        # supports only {"chain", "skip"} policies — any other value on an
+        # oversized row raises at execution time instead of silently
+        # dropping candidates (a typo'd policy literal must be loud).
         limit_col = (
             block_size_limit
             if isinstance(block_size_limit, Column)
@@ -98,9 +110,24 @@ def block_self_join_pairs(
         pol_col = (
             on_oversize if isinstance(on_oversize, Column) else F.lit(on_oversize)
         )
+        # validated routing value: evaluating it on any oversized row with
+        # an unsupported policy throws, so the guard cannot be optimized
+        # away from the branch that uses it
+        pol_norm = F.when(pol_col.isin("chain", "skip"), pol_col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "block_self_join_pairs: unsupported Column "
+                        "on_oversize policy "
+                    ),
+                    F.coalesce(pol_col, F.lit("NULL")),
+                    F.lit(" (expected 'chain' or 'skip')"),
+                )
+            )
+        )
         over = F.col("_bn") > limit_col
         chain_pairs = chain_edges_within_block(
-            sized.filter(over & (pol_col == F.lit("chain"))).drop("_bn"),
+            sized.filter(over & (pol_norm == F.lit("chain"))).drop("_bn"),
             key_cols=key_cols,
             id_col=id_col,
         )

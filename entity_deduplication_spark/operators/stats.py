@@ -59,6 +59,8 @@ def pair_confusion(
     ss = sum C(n_ij,2); sd = sum C(a_i,2) - ss; ds = sum C(b_j,2) - ss;
     dd = C(n,2) - ss - sd - ds.
     """
+    from entity_deduplication_spark.sources.io import aqe_local_checkpoint
+
     j = assign_a.select(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("_ca")
     ).join(
@@ -67,7 +69,14 @@ def pair_confusion(
         ),
         "_id",
     )
-    cont = j.groupBy("_ca", "_cb").agg(F.count(F.lit(1)).alias("nij"))
+    # Materialize the contingency table: it is tiny (<= one row per
+    # cluster-pair actually populated) but its UPSTREAM is the join of two
+    # full clusterings — previously the three aggregate consumers below
+    # each re-executed that join + groupBy (the "before" plan carries the
+    # whole subtree three times under the scalar cross-joins).
+    cont = aqe_local_checkpoint(
+        j.groupBy("_ca", "_cb").agg(F.count(F.lit(1)).alias("nij"))
+    )
 
     def c2(col):
         # double product before the sum: avoids ANSI bigint overflow on
@@ -75,16 +84,22 @@ def pair_confusion(
         # for counts below 2^53
         return F.sum(col.cast("double") * (col - 1) / 2).cast("long")
 
-    ss = cont.agg(c2(F.col("nij")).alias("ss"))
-    a_marg = cont.groupBy("_ca").agg(F.sum("nij").alias("ai")).agg(
-        c2(F.col("ai")).alias("sa"), F.sum("ai").alias("n")
+    # fold ss into the a-marginal chain: per-ca partial sums of C(nij,2)
+    # are integers in doubles (exact below 2^53), so the two-level sum is
+    # bit-identical to the old single global sum
+    a_marg = cont.groupBy("_ca").agg(
+        F.sum("nij").alias("ai"),
+        F.sum(F.col("nij").cast("double") * (F.col("nij") - 1) / 2).alias("_ssa"),
+    ).agg(
+        F.sum("_ssa").cast("long").alias("ss"),
+        c2(F.col("ai")).alias("sa"),
+        F.sum("ai").alias("n"),
     )
     b_marg = cont.groupBy("_cb").agg(F.sum("nij").alias("bj")).agg(
         c2(F.col("bj")).alias("sb")
     )
     return (
-        ss.crossJoin(a_marg)  # three 1-row frames — driver-free scalar algebra
-        .crossJoin(b_marg)
+        a_marg.crossJoin(b_marg)  # two 1-row frames — driver-free scalar algebra
         .select(
             F.col("n"),
             F.col("ss"),

@@ -245,14 +245,17 @@ class DedupPipeline:
         # column when the scan already yields enough partitions: a
         # repartition of the raw clips is a full-table disk round trip
         # (write+read of every audio blob) that the UDF stage doesn't need
-        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
-        src = clips
-        if clips.rdd.getNumPartitions() < n_parts:
-            src = clips.repartition(n_parts, "clip_id")
+        from entity_deduplication_spark.sources.io import spread_partitions
+
+        src = spread_partitions(clips, key="clip_id")
         sig = self.ckpt.get_or_compute(
             "signatures",
             lambda: build_signatures(src, cfg),
             resume=resume,
+            # scan + UDF projections (+ at most one repartition): no join
+            # for AQE to re-plan — a direct localCheckpoint serializes the
+            # signatures once instead of cache-write + checkpoint-copy
+            narrow=True,
         )
         return self.run_from_signatures(sig, resume=resume)
 
@@ -267,8 +270,16 @@ class DedupPipeline:
         whose signature stage is checkpointed elsewhere.
         """
         cfg = self.cfg
+        # eager=False: the pair plan already reads from the materialized
+        # sized-block table (block_self_join_pairs checkpoints it), and
+        # verify consumes the candidate set exactly once — an eager
+        # persist+count+checkpoint here was two extra jobs and a second
+        # full serialization of the pair table for no reuse
         cand = self.ckpt.get_or_compute(
-            "candidate_pairs", lambda: candidate_pairs(sig, cfg), resume=resume
+            "candidate_pairs",
+            lambda: candidate_pairs(sig, cfg),
+            resume=resume,
+            eager=False,
         )
         verified = verified_edges(cand.select("id1", "id2"), sig, cfg)
         # eager=False: edges feed exactly one action (the CC initial edge-set

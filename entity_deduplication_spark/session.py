@@ -59,6 +59,17 @@ def get_spark(
         .config("spark.default.parallelism", str(n_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets BYTES (minPartitionSize, default 1m), but
+        # several post-shuffle stages here are CPU-dense on tiny rows
+        # (pair verify: cosine over array<double>, Levenshtein DP batches
+        # — ~16-byte pair rows fanning out to ms of compute each), so the
+        # byte heuristic collapses them to 1-4 tasks. 64k keeps such
+        # stages wide; on real data (partitions >> 1m) it is a no-op.
+        # Parameterised for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -82,6 +82,28 @@ def aqe_local_checkpoint(df: DataFrame) -> DataFrame:
     return cached
 
 
+def spread_partitions(
+    df: DataFrame, key: str | None = None, min_parts: int | None = None
+) -> DataFrame:
+    """Repartition a source whose scan yields fewer partitions than the
+    session's parallelism — a small parquet file is a single split, so an
+    expensive downstream stage (sketch UDFs, explode+window chains) would
+    run on ONE core while the rest idle (guide §2/§6: input split count
+    bounds stage parallelism).
+
+    Scale-adaptive by construction: when the scan already yields >=
+    defaultParallelism partitions (any non-trivial input) this is a no-op
+    and no shuffle is added; only under-split inputs pay one small
+    round-trip. ``key`` makes the placement deterministic (hash of the id
+    column) rather than round-robin, which also skips round-robin's
+    sort-before-repartition pass."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
@@ -116,6 +138,7 @@ class CheckpointManager:
         partition_by: list[str] | None = None,
         lineage: bool = True,
         eager: bool = True,
+        narrow: bool = False,
     ) -> DataFrame:
         """Read stage table if checkpointed, else compute + persist it.
 
@@ -133,6 +156,16 @@ class CheckpointManager:
             from pyspark import StorageLevel
 
             if eager:
+                # ``narrow=True``: the stage plan has no exchange (a scan +
+                # projections/UDFs), so the AQE persist-then-checkpoint
+                # dance buys nothing and costs a SECOND full serialization
+                # of the stage (columnar cache write + count + RDD block
+                # copy — measured ~2x the signature stage's materialization
+                # wall). A direct eager localCheckpoint serializes once;
+                # non-adaptive compilation of an exchange-free plan is
+                # identical to the AQE plan.
+                if narrow:
+                    return compute().localCheckpoint(eager=True)
                 # AQE-materialized localCheckpoint, NOT a bare persist:
                 # cache matching uses sameResult(), and any consumer
                 # whose reference to this stage gets fresh expression ids

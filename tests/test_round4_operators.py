@@ -83,7 +83,12 @@ def test_auto_route_high_threshold_takes_lsh_plan(spark):
         df, "vec_id", "embedding", threshold=0.9, method="auto", n_rows=10_000
     )
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan  # band-bucket block-size window = LSH path
+    # LSH path: the plan hangs off the checkpointed rhp band-key table
+    # (the block-size window itself is materialized eagerly inside
+    # block_self_join_pairs since round 6, so it no longer appears in the
+    # final plan); the exact grid path has no band_keys column anywhere
+    assert "band_keys" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # not the exact-grid route
 
 
 # ---------------------------------------------------------------------------
