@@ -77,7 +77,17 @@ def get_spark(
         # memory storm: 4096-row batches are ~160 MB of fresh buffers per
         # worker in flight; 1024 keeps them ~40 MB with no kernel slowdown
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 8g default, NOT the box maximum: G1 on a huge heap keeps
+        # allocating into fresh regions for a long time before reusing
+        # collected ones, and this host's page-fault path is so slow and
+        # contended (THP madvise — see the malloc notes above) that each
+        # heap high-water increase burns a visible CPU storm across all 32
+        # task threads (measured: identical bench queries at 48g heap hit
+        # periodic 150-600 tree-CPU-s samples; at 8g they are stable at
+        # ~35 CPU-s). A bounded heap forces early page reuse. Large-scale
+        # runs (tools/scale_run.py at 800k clips) export
+        # SPARK_DRIVER_MEM=48g explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # zstd roughly halves shuffle bytes vs lz4 on the array-heavy
         # verify joins — disk (spill capacity) is the binding resource

@@ -149,6 +149,9 @@ def main() -> None:
     from entity_deduplication_spark.plans.pipeline import DedupPipeline
     from entity_deduplication_spark.session import get_spark
 
+    # the session default heap is bench-sized (8g, see session.py); the
+    # 100x scale runs genuinely need the big heap
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name=f"scale-run-{n_clips}",
         cores=cores,

@@ -73,6 +73,7 @@ from entity_deduplication_spark.plans.pipeline import DedupPipeline
 cores, n_clips, warm_clips = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 # UI on (random port): its REST API is the only public surface for Spark's
 # per-stage executorCpuTime/executorRunTime task metrics
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # scale ladder needs the big heap
 spark = get_spark(
     app_name=f"scaling-{cores}",
     cores=cores,
