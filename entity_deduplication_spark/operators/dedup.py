@@ -98,11 +98,16 @@ def ngram_jaccard_pairs(
         .filter(F.size(words) >= n)  # also avoids sequence() negative-step
         .select(F.col(id_col).alias("id"), gram_arr.alias("_garr"))
     )
-    # per-doc set size straight from the array — the old groupBy over the
-    # exploded grams paid a whole extra explode + shuffle (x2: n1 and n2
-    # branches) for a number the array already knows
-    sizes = base.select("id", F.size("_garr").alias("n_grams"))
-    grams = base.select("id", F.explode("_garr").alias("gram"))
+    # per-doc set size rides WITH each gram row (+8 bytes/row through the
+    # gram shuffle): the old plan re-joined two separate size branches,
+    # each of which re-evaluated the whole gram-array expression (the
+    # optimizer pushes the size() projection below the spread repartition,
+    # so each branch ran it single-task on the one scan split) and paid a
+    # broadcast join; n_grams is constant per id, so carrying it into the
+    # pair groupBy keys is free and removes both joins outright
+    grams = base.select(
+        "id", F.size("_garr").alias("_n"), F.explode("_garr").alias("gram")
+    )
     gram_df = Window.partitionBy("gram")
     join_grams = (
         grams.withColumn("_df", F.count(F.lit(1)).over(gram_df))
@@ -117,18 +122,18 @@ def ngram_jaccard_pairs(
         join_grams.alias("a")
         .join(join_grams.alias("b").hint("merge"), "gram")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a._n").alias("n1"),
+            F.col("b._n").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_grams").alias("n1")), "id1")
-        .join(sizes.select(F.col("id").alias("id2"), F.col("n_grams").alias("n2")), "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -71,6 +71,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # apply AQE when materializing persisted plans too (off by default
+        # only to keep cached output partitioning stable): connected
+        # components and the checkpoint helpers materialize heavy plans
+        # through persist+action, and without this flag those executions
+        # lose runtime exchange reuse, broadcast demotion and coalescing
+        # (measured: the ngram edge materialization inside clustering
+        # agreement ran its gram subtree twice, ~4x the CPU)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # binary-heavy rows (40 KB audio blobs) make big Arrow batches a
