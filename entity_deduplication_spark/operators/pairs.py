@@ -82,18 +82,28 @@ def block_self_join_pairs(
     Returns (id1, id2) distinct pairs.
     """
     w = Window.partitionBy(*key_cols)
+    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w))
+    plain_truncate = not (
+        isinstance(block_size_limit, Column) or isinstance(on_oversize, Column)
+    ) and on_oversize not in ("error", "skip", "chain")
+    if plain_truncate:
+        # fold the truncate cap into the same pre-materialization window
+        # pass (same partition keys -> same exchange; the rn<=limit filter
+        # compiles to a WindowGroupLimit that prunes sort-side)
+        sized = sized.withColumn(
+            "_rn", F.row_number().over(w.orderBy(id_col))
+        )
+        sized = sized.filter(F.col("_rn") <= block_size_limit).drop("_rn")
     # Materialize the sized block table ONCE: downstream it feeds up to
     # five plan subtrees (chain branch, cold self-join a/b, hot salted
     # join a/b), and Spark re-evaluates the whole upstream banding chain
-    # (posexplode + shuffle + sort + window) per subtree — the "before"
+    # (posexplode + shuffle + sort + window[s]) per subtree — the "before"
     # plans show 4 copies of the Generate/Window chain per pair query.
     # One eager localCheckpoint turns those into block scans. The plan up
     # to here is narrow-on-top-of-one-exchange (no joins), so non-AQE
     # compilation is harmless, and the table is linear in the band rows
     # the window pass already shuffles — no new scale cost.
-    sized = keyed.withColumn("_bn", F.count(F.lit(1)).over(w)).localCheckpoint(
-        eager=True
-    )
+    sized = sized.localCheckpoint(eager=True)
     chain_pairs: DataFrame | None = None
     if isinstance(block_size_limit, Column) or isinstance(on_oversize, Column):
         # per-row cap/policy (both may be Columns derived from key_cols):
@@ -159,11 +169,7 @@ def block_self_join_pairs(
             id_col=id_col,
         )
         sized = sized.filter(F.col("_bn") <= block_size_limit)
-    else:
-        sized = sized.withColumn(
-            "_rn", F.row_number().over(w.orderBy(id_col))
-        )
-        sized = sized.filter(F.col("_rn") <= block_size_limit).drop("_rn")
+    # (plain truncate was applied before the checkpoint)
     sized = sized.filter(F.col("_bn") >= 2)
 
     def _pairs(part: DataFrame) -> DataFrame:
