@@ -179,18 +179,44 @@ def generate_clips(
     return clips, pd.DataFrame(truth)
 
 
+# A row group is Spark's parquet parallelism quantum: a byte-range split
+# only yields the row groups whose midpoint falls inside it, so groups much
+# larger than the scan's split size leave most splits EMPTY. The former
+# 2048-row groups (~75 MB of audio) put an 8000-clip file into 4 groups
+# while the scan planned 32 ~9 MB splits — the signature UDF stage ran as
+# 4 working tasks + 28 empty ones (measured: stage wall 9-12 s vs ~55
+# CPU-s spread over 4 tasks). 64 rows ~ 2.4 MB keeps groups well under
+# any realistic split size so row balance tracks byte balance at every
+# scale (125 groups at 8k clips; still only ~8 B/row of footer overhead).
+CLIPS_ROW_GROUP_SIZE = 64
+
+
 def ensure_clips_parquet(
     n_clips: int, seed: int = 42, data_dir: str = "/root/repo/.data"
 ) -> tuple[str, str]:
-    """Materialize (and cache) the deterministic clips + truth parquet."""
+    """Materialize (and cache) the deterministic clips + truth parquet.
+
+    A cached clips file written with the old oversized row groups is
+    regenerated in place (layout-only change; the rows are deterministic
+    from (n_clips, seed) either way).
+    """
     os.makedirs(data_dir, exist_ok=True)
     clips_path = os.path.join(data_dir, f"clips_n{n_clips}_s{seed}.parquet")
     truth_path = os.path.join(data_dir, f"clips_truth_n{n_clips}_s{seed}.parquet")
-    if not (os.path.exists(clips_path) and os.path.exists(truth_path)):
+    stale = False
+    if os.path.exists(clips_path):
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(clips_path).metadata
+            rows_per_group = meta.num_rows / max(meta.num_row_groups, 1)
+            stale = rows_per_group > CLIPS_ROW_GROUP_SIZE
+        except Exception:
+            stale = True
+    if stale or not (os.path.exists(clips_path) and os.path.exists(truth_path)):
         clips, truth = generate_clips(n_clips, seed=seed)
-        # small row groups: pandas' default is ONE row group per file,
-        # which makes every Spark scan of the audio blobs a single task
-        # (a row group is the parallelism quantum) — 2048 rows ~ 80 MB
-        clips.to_parquet(clips_path, index=False, row_group_size=2048)
+        clips.to_parquet(
+            clips_path, index=False, row_group_size=CLIPS_ROW_GROUP_SIZE
+        )
         truth.to_parquet(truth_path, index=False, row_group_size=65536)
     return clips_path, truth_path

@@ -65,3 +65,36 @@ def test_pair_confusion_restructured_counts(spark):
     # sa (same in a) = 2*C(3,2) = 6 -> sd = 4; sb = 3*C(2,2)... = 3 -> ds = 1
     # total = C(6,2) = 15 -> dd = 15 - 2 - 4 - 1 = 8
     assert (row["n"], row["ss"], row["sd"], row["ds"], row["dd"]) == (6, 2, 4, 1, 8)
+
+
+def test_clips_parquet_row_groups_small_and_stale_cache_heals(tmp_path):
+    """Row groups are Spark's scan-parallelism quantum: oversized groups
+    leave most byte-range splits empty (the 8000-clip bench file had 4
+    ~75 MB groups -> 4 working tasks out of 32). ensure_clips_parquet
+    must (a) write small row groups and (b) regenerate a cached file
+    written with the old oversized layout, byte-identically."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_spark.datagen import (
+        CLIPS_ROW_GROUP_SIZE,
+        ensure_clips_parquet,
+        generate_clips,
+    )
+
+    d = str(tmp_path)
+    p, _ = ensure_clips_parquet(300, seed=7, data_dir=d)
+    meta = pq.ParquetFile(p).metadata
+    assert meta.num_rows == 300
+    assert meta.num_rows / meta.num_row_groups <= CLIPS_ROW_GROUP_SIZE
+    fresh = pd.read_parquet(p)
+
+    # simulate a stale cache from the old layout (one giant row group)
+    clips, _ = generate_clips(300, seed=7)
+    clips.to_parquet(p, index=False, row_group_size=2048)
+    assert pq.ParquetFile(p).metadata.num_row_groups == 1
+    p2, _ = ensure_clips_parquet(300, seed=7, data_dir=d)
+    assert p2 == p
+    meta2 = pq.ParquetFile(p).metadata
+    assert meta2.num_rows / meta2.num_row_groups <= CLIPS_ROW_GROUP_SIZE
+    assert pd.read_parquet(p).equals(fresh)

@@ -60,7 +60,13 @@ def _gen_chunk(args: tuple[str, int, int, int]) -> str:
     # -> 12.5B rows after two 16x-duplicated payload joins).
     clips, _ = generate_clips(n, seed=seed, id_offset=id_offset)
     tmp = path + ".tmp"
-    clips.to_parquet(tmp, index=False, row_group_size=2048)
+    # small row groups so byte-range splits stay row-balanced (a split
+    # only yields the row groups whose midpoint it contains — see
+    # datagen.CLIPS_ROW_GROUP_SIZE); 256 rows ~ 9 MB per group, ~13 per
+    # default 128 MB split. Existing chunk files keep their old layout
+    # (content-identical; a 2 GB chunk at 75 MB groups still splits ~25
+    # ways, so regeneration is not forced here).
+    clips.to_parquet(tmp, index=False, row_group_size=256)
     os.rename(tmp, path)
     return path
 
