@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_deduplication_spark.config import DedupConfig
@@ -109,42 +109,56 @@ def unified_band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     Exposed separately from :func:`candidate_pairs` so scale tooling can
     audit per-family bucket-size distributions (pair mass per family)
     without running the self-join.
+
+    All four families are emitted by ONE explode over a per-row concat of
+    per-family struct arrays, not a 4-way union of per-family scans: the
+    union re-scanned the signature table four times (4x the checkpoint
+    traversal, 4x the map tasks, 4x the per-task shuffle-writer setup
+    feeding the window exchange) for rows that one pass can produce.
+    Per-family element construction mirrors the old per-family plans
+    exactly: a NULL family array contributes no rows (posexplode
+    semantics, via coalesce-to-empty so one NULL family cannot null the
+    whole concat), and the SimHash family emits all its structs whenever
+    the row exists (explode of a non-null array literal).
     """
-
-    def _banded(bands_col: str, src: int) -> DataFrame:
-        return signatures.select(
-            "clip_id", F.posexplode(F.col(bands_col)).alias("band_idx", "band_key")
-        ).select("clip_id", F.lit(src).alias("src"), "band_idx", "band_key")
-
-    # simhash block-combination bands as a third family (guaranteed
-    # complete for Hamming <= hamming_max; see simhash_hamming_band_structs
-    # for why rotated prefixes were replaced)
     from entity_deduplication_spark.functions.hashing import (
         simhash_hamming_band_structs,
     )
 
+    def _elem(src: int, band_idx: Column, band_key: Column) -> Column:
+        return F.struct(
+            F.lit(src).alias("src"),
+            band_idx.cast("int").alias("band_idx"),
+            band_key.cast("bigint").alias("band_key"),
+        )
+
+    def _fam(col: Column, src: int, positional: bool) -> Column:
+        # posexplode-equivalent (band_idx, band_key) structs; NULL -> empty
+        arr = F.coalesce(col, F.array().cast("array<bigint>"))
+        if positional:
+            return F.transform(arr, lambda x, i: _elem(src, i, x))
+        return F.transform(arr, lambda x: _elem(src, F.lit(0), x))
+
+    # simhash block-combination bands (guaranteed complete for
+    # Hamming <= hamming_max; see simhash_hamming_band_structs for why
+    # rotated prefixes were replaced)
     sim_structs = simhash_hamming_band_structs(
         F.col("simhash"), cfg.simhash_n_blocks, cfg.simhash_hamming_max
     )
-    sim_banded = signatures.select(
-        "clip_id", F.explode(F.array(*sim_structs)).alias("rb")
-    ).select(
-        "clip_id",
-        F.lit(2).alias("src"),
-        F.col("rb.band_idx").alias("band_idx"),
-        F.col("rb.band_key").alias("band_key"),
+    sim_fam = F.transform(
+        F.array(*sim_structs),
+        lambda s: _elem(2, s["band_idx"], s["band_key"]),
     )
 
-    fp_banded = signatures.select(
-        "clip_id", F.explode("fps").alias("band_key")
-    ).select("clip_id", F.lit(3).alias("src"), F.lit(0).alias("band_idx"), "band_key")
-
-    return (
-        _banded("bands", 0)
-        .unionByName(_banded("audio_bands", 1))
-        .unionByName(sim_banded)
-        .unionByName(fp_banded)
+    combined = F.concat(
+        _fam(F.col("bands"), 0, positional=True),
+        _fam(F.col("audio_bands"), 1, positional=True),
+        sim_fam,
+        _fam(F.col("fps"), 3, positional=False),
     )
+    return signatures.select(
+        "clip_id", F.explode(combined).alias("rb")
+    ).select("clip_id", "rb.src", "rb.band_idx", "rb.band_key")
 
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -98,3 +98,71 @@ def test_clips_parquet_row_groups_small_and_stale_cache_heals(tmp_path):
     meta2 = pq.ParquetFile(p).metadata
     assert meta2.num_rows / meta2.num_row_groups <= CLIPS_ROW_GROUP_SIZE
     assert pd.read_parquet(p).equals(fresh)
+
+
+def test_unified_band_table_one_pass_equals_union_construction(spark):
+    """The one-pass (concat+explode) band table must emit exactly the
+    rows of the old 4-way-union construction — including NULL/empty
+    family arrays (posexplode drops them; a NULL family must not null
+    the whole concat) and the SimHash family's emit-even-when-key-NULL
+    behavior."""
+    from pyspark.sql import functions as F
+
+    from entity_deduplication_spark.config import DedupConfig
+    from entity_deduplication_spark.datagen import generate_clips
+    from entity_deduplication_spark.functions.hashing import (
+        simhash_hamming_band_structs,
+    )
+    from entity_deduplication_spark.plans.pipeline import (
+        build_signatures,
+        unified_band_table,
+    )
+
+    cfg = DedupConfig()
+    clips_pd, _ = generate_clips(80, seed=11)
+    sig = build_signatures(spark.createDataFrame(clips_pd), cfg)
+    # edge rows: NULL fps / empty bands / NULL simhash
+    edge = spark.createDataFrame(
+        [
+            ("edge_null_fps", [1, 2], [3], 7, None),
+            ("edge_empty", [], [], None, []),
+            ("edge_only_fps", None, None, 5, [9, 9, 10]),
+        ],
+        "clip_id string, bands array<bigint>, audio_bands array<bigint>, "
+        "simhash bigint, fps array<bigint>",
+    )
+    sig_cols = sig.select("clip_id", "bands", "audio_bands", "simhash", "fps")
+    for table in (sig_cols, edge):
+        def _banded(bands_col, src):
+            return table.select(
+                "clip_id",
+                F.posexplode(F.col(bands_col)).alias("band_idx", "band_key"),
+            ).select("clip_id", F.lit(src).alias("src"), "band_idx", "band_key")
+
+        sim_structs = simhash_hamming_band_structs(
+            F.col("simhash"), cfg.simhash_n_blocks, cfg.simhash_hamming_max
+        )
+        sim_banded = table.select(
+            "clip_id", F.explode(F.array(*sim_structs)).alias("rb")
+        ).select(
+            "clip_id",
+            F.lit(2).alias("src"),
+            F.col("rb.band_idx").alias("band_idx"),
+            F.col("rb.band_key").alias("band_key"),
+        )
+        fp_banded = table.select(
+            "clip_id", F.explode("fps").alias("band_key")
+        ).select(
+            "clip_id", F.lit(3).alias("src"), F.lit(0).alias("band_idx"), "band_key"
+        )
+        old = (
+            _banded("bands", 0)
+            .unionByName(_banded("audio_bands", 1))
+            .unionByName(sim_banded)
+            .unionByName(fp_banded)
+        )
+        new = unified_band_table(table, cfg)
+        assert new.columns == old.columns
+        assert new.schema == old.schema
+        key = lambda r: (r["clip_id"], r["src"], r["band_idx"], r["band_key"])
+        assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
