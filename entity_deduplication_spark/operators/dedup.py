@@ -105,9 +105,20 @@ def ngram_jaccard_pairs(
     # so each branch ran it single-task on the one scan split) and paid a
     # broadcast join; n_grams is constant per id, so carrying it into the
     # pair groupBy keys is free and removes both joins outright
+    # explode_outer, NOT explode: a bare explode lets the optimizer infer
+    # `size(_garr) > 0 AND isnotnull(_garr)` (InferFiltersFromGenerate)
+    # and push it below the spread repartition, where it re-evaluates the
+    # whole gram-array expression TWICE on the ONE scan task (measured:
+    # a 1.4-1.7 s single-task stage at sf0.1 — the exact serialization
+    # the spread exists to avoid). outer-explode infers no such filter;
+    # the explicit null-gram filter restores identical rows (gram
+    # elements are concat_ws products, never NULL, and `base` already
+    # guarantees >= 1 gram per row, so it only drops rows that cannot
+    # exist) and cannot be pushed below the exchange because `gram` does
+    # not exist there.
     grams = base.select(
-        "id", F.size("_garr").alias("_n"), F.explode("_garr").alias("gram")
-    )
+        "id", F.size("_garr").alias("_n"), F.explode_outer("_garr").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     gram_df = Window.partitionBy("gram")
     join_grams = (
         grams.withColumn("_df", F.count(F.lit(1)).over(gram_df))
